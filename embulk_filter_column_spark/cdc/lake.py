@@ -1,0 +1,303 @@
+"""Iceberg-style lake table: bucketed copy-on-write MERGE with snapshot
+manifests, idempotent commits, schema evolution, tombstoned deletes.
+
+The sandbox ships no Iceberg runtime jar, so the table format is
+implemented directly on parquet + JSON manifests with the same contract
+(SURVEY.md §7 step 4 "HadoopMergeSink"):
+
+* ``data/s<snapshot>/bucket=<b>/*.parquet`` — immutable data files
+* ``_meta/snapshot-<n>.json`` — manifest: schema versions, rename chain,
+  bucket → file list, committed batch id
+* ``_meta/HEAD`` — current snapshot pointer, committed by atomic rename
+  (write-audit-publish: data + manifest are fully written and fsynced
+  before HEAD moves; a crash before the rename leaves the old snapshot
+  live and the orphaned files are overwritten on retry)
+
+Scale design
+------------
+Rows are hash-bucketed on the merge key (``pmod(xxhash64(url), B)``). A
+MERGE only reads + rewrites the buckets the batch touches — at 10^10 rows
+with B=4096, a batch touching 5% of key-space rewrites 5% of files, not
+the table. Dedup inside the merge is the map-side-combining ``max_by``
+aggregate (see ``dedup.py``), so hot-url skew collapses before the
+shuffle. Deletes are kept as tombstone rows (``_op = 'D'``) and filtered
+on read, which makes replay **order-insensitive**: the final state equals
+last-writer-wins over every event ever merged, no matter how late an
+update arrives — the exactly-once story needs only idempotent-by-batch-id
+commits, not ordering.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import EngineError
+from .dedup import last_writer_wins
+
+OP_COL = "_op"
+
+
+class MergeResult:
+    def __init__(self, batch_id: int, snapshot_id: int, skipped: bool,
+                 rows_in: int = 0, winners: int = 0, tombstones: int = 0,
+                 buckets_touched: int = 0):
+        self.batch_id = batch_id
+        self.snapshot_id = snapshot_id
+        self.skipped = skipped
+        self.rows_in = rows_in
+        self.winners = winners
+        self.tombstones = tombstones
+        self.buckets_touched = buckets_touched
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return ("MergeResult(batch=%d snap=%d skipped=%s in=%d winners=%d "
+                "tombstones=%d buckets=%d)"
+                % (self.batch_id, self.snapshot_id, self.skipped,
+                   self.rows_in, self.winners, self.tombstones,
+                   self.buckets_touched))
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "_meta")
+
+    # -- creation / manifest ------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, schema: T.StructType,
+               key: str = "url", order: tuple = ("warc_ts", "seq"),
+               num_buckets: int = 64) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        manifest = {
+            "snapshot_id": 0,
+            "batch_id": 0,
+            "key": key,
+            "order": list(order),
+            "num_buckets": num_buckets,
+            "schema_id": 0,
+            "schemas": {"0": json.loads(schema.json())},
+            "renames": {},
+            "buckets": {},
+            "parent": None,
+        }
+        t._write_manifest(manifest)
+        t._commit_head(0)
+        return t
+
+    @classmethod
+    def exists(cls, spark: SparkSession, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_meta", "HEAD"))
+
+    def _write_manifest(self, manifest: dict) -> None:
+        p = os.path.join(self.meta_dir,
+                         "snapshot-%08d.json" % manifest["snapshot_id"])
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, p)
+
+    def _commit_head(self, snapshot_id: int) -> None:
+        tmp = os.path.join(self.meta_dir, "HEAD.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(snapshot_id))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.meta_dir, "HEAD"))
+
+    def head(self) -> dict:
+        with open(os.path.join(self.meta_dir, "HEAD")) as fh:
+            snap = int(fh.read().strip())
+        with open(os.path.join(self.meta_dir,
+                               "snapshot-%08d.json" % snap)) as fh:
+            return json.load(fh)
+
+    @property
+    def committed_batch_id(self) -> int:
+        return self.head()["batch_id"]
+
+    def schema(self, manifest: dict | None = None) -> T.StructType:
+        m = manifest or self.head()
+        return T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+
+    # -- schema evolution ----------------------------------------------------
+
+    def evolve(self, new_schema: T.StructType,
+               renames: dict | None = None) -> int:
+        """Metadata-only schema change (SURVEY.md §7 step 6) — the analog
+        of Iceberg ALTER TABLE ADD/DROP/RENAME COLUMN. ``renames`` maps
+        old column name → new column name; added columns read as NULL from
+        old files; dropped columns are projected away."""
+        m = self.head()
+        new_id = m["schema_id"] + 1
+        m["schemas"][str(new_id)] = json.loads(new_schema.json())
+        if renames:
+            m["renames"][str(new_id)] = dict(renames)
+        m["schema_id"] = new_id
+        m["parent"] = m["snapshot_id"]
+        m["snapshot_id"] += 1
+        self._write_manifest(m)
+        self._commit_head(m["snapshot_id"])
+        return m["snapshot_id"]
+
+    def _align(self, df: DataFrame, from_schema_id: int,
+               manifest: dict) -> DataFrame:
+        """Project a file written under an older schema version to the
+        current one: apply the rename chain, null-fill added columns,
+        drop removed ones."""
+        cur_id = manifest["schema_id"]
+        for v in range(from_schema_id + 1, cur_id + 1):
+            for old, new in manifest["renames"].get(str(v), {}).items():
+                if old in df.columns:
+                    df = df.withColumnRenamed(old, new)
+        target = self.schema(manifest)
+        cols = []
+        have = set(df.columns)
+        for f in target.fields:
+            if f.name in have:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        if OP_COL in have:
+            cols.append(F.col(OP_COL))
+        return df.select(*cols)
+
+    # -- read ----------------------------------------------------------------
+
+    def _read_files(self, groups: dict, manifest: dict) -> DataFrame | None:
+        """groups: schema_id -> [paths]; returns aligned union or None."""
+        parts = []
+        for sid, paths in groups.items():
+            if not paths:
+                continue
+            df = self.spark.read.parquet(*paths)
+            parts.append(self._align(df, int(sid), manifest))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _file_groups(self, manifest: dict, buckets=None) -> dict:
+        groups: dict = {}
+        sel = None if buckets is None else {int(b) for b in buckets}
+        for b, files in manifest["buckets"].items():
+            if sel is not None and int(b) not in sel:
+                continue
+            for entry in files:
+                groups.setdefault(entry["schema_id"], []).append(
+                    os.path.join(self.path, entry["path"]))
+        return groups
+
+    def read(self, include_tombstones: bool = False) -> DataFrame:
+        """Current table state — live rows only unless asked otherwise."""
+        m = self.head()
+        df = self._read_files(self._file_groups(m), m)
+        if df is None:
+            fields = list(self.schema(m).fields)
+            fields.append(T.StructField(OP_COL, T.StringType()))
+            df = self.spark.createDataFrame([], T.StructType(fields))
+        if include_tombstones:
+            return df
+        return df.where(F.col(OP_COL) != "D").drop(OP_COL)
+
+    # -- merge ----------------------------------------------------------------
+
+    def merge(self, batch: DataFrame, batch_id: int,
+              op_col: str = "op") -> MergeResult:
+        """Key-partitioned MERGE upsert (last-writer-wins by the table's
+        order columns; op 'D' → tombstone). Replay-safe: a batch id at or
+        below the committed one is skipped without touching data."""
+        m = self.head()
+        if batch_id <= m["batch_id"]:
+            return MergeResult(batch_id, m["snapshot_id"], skipped=True)
+
+        key = m["key"]
+        order = tuple(m["order"])
+        nbuckets = m["num_buckets"]
+        target = self.schema(m)
+        target_names = [f.name for f in target.fields]
+
+        missing = [c for c in (key, *order, op_col) if c not in batch.columns]
+        if missing:
+            raise EngineError(
+                "merge batch is missing required columns %s" % missing)
+
+        obs = Observation()
+        src = batch.withColumnRenamed(op_col, OP_COL)
+        src = src.select(*[c for c in (*target_names, OP_COL)
+                           if c in src.columns])
+        src = src.observe(obs, F.count(F.lit(1)).alias("rows_in"))
+        winners = last_writer_wins(src, key=key, order=order)
+
+        bucket_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(nbuckets)) \
+            .cast("int")
+        winners = winners.withColumn("bucket", bucket_expr)
+        winners.persist()
+        try:
+            touched = sorted(
+                r[0] for r in winners.select("bucket").distinct().collect())
+            existing = self._read_files(self._file_groups(m, touched), m)
+            if existing is not None:
+                existing = existing.withColumn("bucket", bucket_expr)
+                combined = last_writer_wins(
+                    existing.unionByName(winners, allowMissingColumns=True),
+                    key=key, order=order)
+            else:
+                combined = winners
+
+            obs2 = Observation()
+            combined = combined.observe(
+                obs2,
+                F.count(F.lit(1)).alias("winners"),
+                F.sum(F.when(F.col(OP_COL) == "D", 1).otherwise(0))
+                 .alias("tombstones"))
+
+            new_snap = m["snapshot_id"] + 1
+            rel_dir = "data/s%08d" % new_snap
+            out_dir = os.path.join(self.path, rel_dir)
+            (combined
+             .repartition(max(len(touched), 1), "bucket")
+             .write.mode("overwrite").partitionBy("bucket")
+             .parquet(out_dir))
+
+            new_buckets = dict(m["buckets"])
+            cur_schema_id = m["schema_id"]
+            for b in touched:
+                paths = [
+                    os.path.relpath(p, self.path)
+                    for p in glob.glob(
+                        os.path.join(out_dir, "bucket=%d" % b, "*.parquet"))
+                ]
+                new_buckets[str(b)] = [
+                    {"path": p, "schema_id": cur_schema_id} for p in paths]
+
+            m2 = dict(m)
+            m2["snapshot_id"] = new_snap
+            m2["parent"] = m["snapshot_id"]
+            m2["batch_id"] = batch_id
+            m2["buckets"] = new_buckets
+            self._write_manifest(m2)
+            self._commit_head(new_snap)
+
+            stats = obs.get
+            stats2 = obs2.get
+            return MergeResult(
+                batch_id, new_snap, skipped=False,
+                rows_in=int(stats.get("rows_in") or 0),
+                winners=int(stats2.get("winners") or 0),
+                tombstones=int(stats2.get("tombstones") or 0),
+                buckets_touched=len(touched))
+        finally:
+            winners.unpersist()

@@ -1,0 +1,137 @@
+"""CDC pipeline orchestration: WAL tail → column rules → LWW dedup →
+MERGE → checkpoint (SURVEY.md §3.4 lifecycle).
+
+One batch = one or more WAL chunks. Per batch::
+
+    read chunks [lo, hi)                 # directory-pruned scan
+    apply column-rule projection         # native exprs + json pandas UDF
+    MERGE into lake (dedup inside)       # idempotent by batch id
+    journal lineage/metrics              # Observation counters, no extra pass
+    commit checkpoint                    # after the lake commit → exactly-once
+
+Config evolution: ``config_schedule`` maps a starting chunk offset to a
+FilterConfig; when the active config flips mid-stream the pipeline derives
+an EvolutionPlan against the live lake schema and applies lake DDL before
+merging the first batch under the new config.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from ..config import FilterConfig
+from ..errors import EngineError
+from ..plans.compiler import compile_filter
+from ..plans.evolution import plan_evolution
+from .checkpoint import Checkpoint
+from .lake import LakeTable
+from .metrics import BatchJournal
+from .wal import WalReader
+
+ENVELOPE = ("op", "seq", "url", "warc_ts")
+
+
+class CDCPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        wal_path: str,
+        lake_path: str,
+        checkpoint_path: str,
+        filter_config=None,
+        config_schedule: dict | None = None,
+        key: str = "url",
+        order: tuple = ("warc_ts", "seq"),
+        num_buckets: int = 64,
+        chunks_per_batch: int = 1,
+    ):
+        self.spark = spark
+        self.reader = WalReader(spark, wal_path)
+        self.lake_path = lake_path
+        self.checkpoint = Checkpoint.load(checkpoint_path)
+        self.key = key
+        self.order = tuple(order)
+        self.num_buckets = num_buckets
+        self.chunks_per_batch = chunks_per_batch
+        if config_schedule:
+            self.schedule = sorted(
+                ((int(k), self._coerce(v)) for k, v in
+                 config_schedule.items()))
+        else:
+            self.schedule = [(0, self._coerce(filter_config or {}))]
+        self.journal = BatchJournal(spark, lake_path)
+
+    @staticmethod
+    def _coerce(cfg) -> FilterConfig:
+        return cfg if isinstance(cfg, FilterConfig) \
+            else FilterConfig.from_dict(cfg)
+
+    def _config_for_chunk(self, chunk: int) -> FilterConfig:
+        active = self.schedule[0][1]
+        for start, cfg in self.schedule:
+            if chunk >= start:
+                active = cfg
+        return active
+
+    def _project(self, df, config: FilterConfig):
+        compiled = compile_filter(config, df.schema)
+        out_names = [f.name for f in compiled.output_schema.fields]
+        missing = [c for c in (self.key, *self.order, "op")
+                   if c not in out_names]
+        if missing:
+            raise EngineError(
+                "filter config must preserve the CDC envelope columns; "
+                "missing %s — keep them in `columns` or avoid dropping them"
+                % missing)
+        return compiled.apply(df), compiled.output_schema
+
+    def _table_schema(self, output_schema):
+        """Lake schema = projected payload without the transient op flag."""
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [f for f in output_schema.fields if f.name != "op"])
+
+    def _ensure_lake(self, output_schema) -> LakeTable:
+        if LakeTable.exists(self.spark, self.lake_path):
+            lake = LakeTable(self.spark, self.lake_path)
+            current = lake.schema()
+            desired = self._table_schema(output_schema)
+            if [f.name for f in current.fields] != \
+                    [f.name for f in desired.fields]:
+                cfg = self._config_for_chunk(self.checkpoint.next_chunk)
+                plan = plan_evolution(current, desired, cfg)
+                lake.evolve(plan.new_schema, plan.renames)
+            return lake
+        return LakeTable.create(
+            self.spark, self.lake_path, self._table_schema(output_schema),
+            key=self.key, order=self.order, num_buckets=self.num_buckets)
+
+    def run(self, max_batches: int | None = None) -> list:
+        """Process available WAL chunks from the checkpointed offset.
+        Safe to re-run after a crash at any point — replayed batches are
+        skipped by the lake's batch-id check."""
+        results = []
+        end = self.reader.end_offset
+        while self.checkpoint.next_chunk < end:
+            if max_batches is not None and len(results) >= max_batches:
+                break
+            lo = self.checkpoint.next_chunk
+            hi = min(lo + self.chunks_per_batch, end)
+            batch_id = self.checkpoint.batch_id + 1
+            t0 = time.monotonic()
+
+            config = self._config_for_chunk(lo)
+            events = self.reader.read_chunks(lo, hi)
+            projected, out_schema = self._project(events, config)
+            lake = self._ensure_lake(out_schema)
+            result = lake.merge(projected, batch_id)
+            self.journal.record(result, lo, hi, time.monotonic() - t0)
+            self.checkpoint.commit(hi, batch_id)
+            results.append(result)
+        return results
+
+    def table(self) -> LakeTable:
+        return LakeTable(self.spark, self.lake_path)

@@ -1,0 +1,44 @@
+"""Chunked-parquet WAL reader with offset tracking (SURVEY.md §3.4).
+
+A WAL is a directory of ``chunk=<n>/`` parquet partitions (written by
+``sources.write_wal``); the chunk number is the replay offset unit — the
+engine analog of a binlog file/position. Reading a chunk range goes through
+partition-column pruning (``WHERE chunk BETWEEN lo AND hi-1`` prunes
+directories at plan time — no full-scan at 10^10 events).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class WalReader:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def chunk_ids(self) -> list:
+        """Available chunk offsets, sorted. Local-FS listing; a cluster
+        deployment swaps this for the Hadoop FileSystem API — the rest of
+        the reader is storage-agnostic."""
+        out = []
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"chunk=(\d+)", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    @property
+    def end_offset(self) -> int:
+        ids = self.chunk_ids()
+        return (ids[-1] + 1) if ids else 0
+
+    def read_chunks(self, lo: int, hi: int) -> DataFrame:
+        """Events with chunk offset in [lo, hi) — directory-pruned scan."""
+        df = self.spark.read.parquet(self.path)
+        return (df.where((F.col("chunk") >= lo) & (F.col("chunk") < hi))
+                  .drop("chunk"))

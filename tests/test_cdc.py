@@ -1,0 +1,148 @@
+"""CDC end-to-end: replay → final state vs order-independent pandas
+oracle; exactly-once resume; schema evolution mid-stream (SURVEY.md §5
+engine test strategy #5)."""
+
+import os
+
+import pytest
+
+from embulk_filter_column_spark.cdc import CDCPipeline, LakeTable
+from embulk_filter_column_spark.errors import EngineError
+from embulk_filter_column_spark.sources import web_change_events, write_wal
+
+N_EVENTS = 2000
+CHUNK_ROWS = 500
+
+
+@pytest.fixture(scope="module")
+def wal(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wal"))
+    events = web_change_events(spark, N_EVENTS, n_domains=20,
+                               pages_per_domain=10, seed=42)
+    n_chunks = write_wal(events, path, chunk_rows=CHUNK_ROWS)
+    assert n_chunks == N_EVENTS // CHUNK_ROWS
+    return path
+
+
+def oracle_state(spark, wal_path):
+    """Pandas reference: per-url winner by (warc_ts, seq); drop deletes."""
+    pdf = spark.read.parquet(wal_path).drop("chunk").toPandas()
+    pdf = pdf.sort_values(["warc_ts", "seq"])
+    winners = pdf.groupby("url", as_index=False).last()
+    return winners[winners["op"] != "D"]
+
+
+def final_pairs(df):
+    return sorted((r["url"], r["text"]) for r in df.collect())
+
+
+def test_replay_matches_oracle(spark, wal, tmp_path):
+    lake_dir, cp_dir = str(tmp_path / "lake"), str(tmp_path / "cp")
+    pipe = CDCPipeline(spark, wal, lake_dir, cp_dir, num_buckets=8)
+    results = pipe.run()
+    assert len(results) == 4
+    assert all(not r.skipped for r in results)
+
+    got = final_pairs(pipe.table().read())
+    want = oracle_state(spark, wal)
+    assert got == sorted(zip(want["url"], want["text"]))  # byte-identical
+    # lineage/metrics recorded per batch
+    assert pipe.journal.lineage().count() == 4
+    m = pipe.journal.metrics().toPandas()
+    assert m["rows_in"].sum() == N_EVENTS
+
+
+def test_rerun_is_idempotent(spark, wal, tmp_path):
+    lake_dir, cp_dir = str(tmp_path / "lake"), str(tmp_path / "cp")
+    pipe = CDCPipeline(spark, wal, lake_dir, cp_dir, num_buckets=8)
+    pipe.run()
+    snap_before = pipe.table().head()["snapshot_id"]
+    state_before = final_pairs(pipe.table().read())
+
+    # 1) re-run with intact checkpoint: nothing to do
+    assert CDCPipeline(spark, wal, lake_dir, cp_dir).run() == []
+
+    # 2) crash-between-commit-and-checkpoint simulation: wipe the
+    # checkpoint so every batch replays — the lake must skip them all
+    os.remove(os.path.join(cp_dir, "checkpoint.json"))
+    replayed = CDCPipeline(spark, wal, lake_dir, cp_dir,
+                           num_buckets=8).run()
+    assert len(replayed) == 4 and all(r.skipped for r in replayed)
+    assert pipe.table().head()["snapshot_id"] == snap_before
+    assert final_pairs(pipe.table().read()) == state_before
+
+
+def test_kill_and_resume(spark, wal, tmp_path):
+    lake_dir, cp_dir = str(tmp_path / "lake"), str(tmp_path / "cp")
+    first = CDCPipeline(spark, wal, lake_dir, cp_dir, num_buckets=8)
+    assert len(first.run(max_batches=2)) == 2
+
+    resumed = CDCPipeline(spark, wal, lake_dir, cp_dir, num_buckets=8)
+    assert len(resumed.run()) == 2
+
+    want = oracle_state(spark, wal)
+    assert final_pairs(resumed.table().read()) == \
+        sorted(zip(want["url"], want["text"]))
+
+
+def test_projection_inside_pipeline(spark, wal, tmp_path):
+    # column rules applied per batch: keep envelope + rename text→body
+    cfg = {"columns": [
+        {"name": "op"}, {"name": "seq"}, {"name": "url"},
+        {"name": "warc_ts"},
+        {"name": "body", "src": "text"},
+        {"name": "lang", "default": "und"},
+    ]}
+    pipe = CDCPipeline(spark, wal, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), filter_config=cfg,
+                       num_buckets=8)
+    pipe.run()
+    table = pipe.table().read()
+    assert set(table.columns) == {"seq", "url", "warc_ts", "body", "lang"}
+    want = oracle_state(spark, wal)
+    got = sorted((r["url"], r["body"]) for r in table.collect())
+    assert got == sorted(zip(want["url"], want["text"]))
+    assert table.where("lang = 'und'").count() == 0  # defaults on null only
+
+
+def test_envelope_must_survive_projection(spark, wal, tmp_path):
+    with pytest.raises(EngineError, match="envelope"):
+        CDCPipeline(spark, wal, str(tmp_path / "lake"),
+                    str(tmp_path / "cp"),
+                    filter_config={"columns": [{"name": "url"},
+                                               {"name": "op"}]}).run()
+
+
+def test_schema_evolution_mid_stream(spark, wal, tmp_path):
+    base = {"columns": [
+        {"name": "op"}, {"name": "seq"}, {"name": "url"},
+        {"name": "warc_ts"}, {"name": "text"}, {"name": "lang"},
+    ]}
+    evolved = {"columns": [
+        {"name": "op"}, {"name": "seq"}, {"name": "url"},
+        {"name": "warc_ts"},
+        {"name": "body", "src": "text"},          # rename text → body
+        {"name": "quality", "type": "double", "default": 1.0},  # add
+    ]}                                            # drop lang
+    pipe = CDCPipeline(spark, wal, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"),
+                       config_schedule={0: base, 2: evolved},
+                       num_buckets=8)
+    results = pipe.run()
+    assert len(results) == 4
+
+    lake = pipe.table()
+    fields = [f.name for f in lake.schema().fields]
+    assert fields == ["seq", "url", "warc_ts", "body", "quality"]
+
+    table = lake.read()
+    want = oracle_state(spark, wal)
+    got = sorted((r["url"], r["body"]) for r in table.collect())
+    assert got == sorted(zip(want["url"], want["text"]))
+
+    # rows written before the evolution read back with body == old text
+    # (rename chain) and NULL quality backfill... quality is an add rule
+    # with default — new rows get 1.0, pre-evolution files read as NULL
+    quality = {r["url"]: r["quality"] for r in table.collect()}
+    assert set(quality.values()) <= {None, 1.0}
+    assert None in quality.values() and 1.0 in quality.values()
