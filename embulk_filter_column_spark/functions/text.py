@@ -1,0 +1,114 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure native Spark expressions (whole-stage codegen, zero Python in the
+hot path): tokenization, token counting, quality scoring, n-gram-heuristic
+language ID, rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic —
+# enough signal for web-scale routing, deliberately dependency-free
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "las", "es", "para", "que", "una"],
+    "pt": ["o", "os", "das", "dos", "um", "uma", "para", "com"],
+}
+
+_STOPWORDS = sorted({w for ws in _LANG_MARKERS.values() for w in ws})
+
+#: BPE-ish token pattern: word pieces or single non-space symbols
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens (lowercased), empty strings removed."""
+    arr = F.split(F.lower(F.trim(F.col(col) if isinstance(col, str) else col)),
+                  r"\s+")
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(col, pattern: str | None = None) -> Column:
+    """Token count. Default: whitespace tokens; pass ``pattern`` (e.g.
+    TOKEN_PATTERN) for a BPE-ish regex count."""
+    c = F.col(col) if isinstance(col, str) else col
+    if pattern is None:
+        return F.size(tokens(c))
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality in [0,1] from length, alpha ratio,
+    punctuation ratio, stopword ratio, and mean word length — the standard
+    cheap pre-filters of web-text pipelines, as one codegen'd expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    alpha = F.regexp_count(c, F.lit(r"[A-Za-z]")) / \
+        F.greatest(n_chars, F.lit(1))
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]")) / \
+        F.greatest(n_chars, F.lit(1))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+        / F.greatest(n_tokens, F.lit(1)))
+    mean_word_len = n_chars / F.greatest(n_tokens, F.lit(1))
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 100_000), 1.0) \
+        .otherwise(0.3)
+    word_len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0) \
+        .otherwise(0.4)
+    raw = (0.30 * alpha + 0.15 * (1 - F.least(punct * 4, F.lit(1.0)))
+           + 0.15 * F.least(stop_ratio * 4, F.lit(1.0))
+           + 0.20 * length_ok + 0.20 * word_len_ok)
+    return F.round(F.least(raw, F.lit(1.0)), 4)
+
+
+def lang_id(col) -> Column:
+    """Marker-word language heuristic: argmax over per-language marker
+    hit counts; 'und' when nothing matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+
+    def _marker_filter(words):
+        ws = tuple(words)
+        return lambda t: t.isin(*ws)
+
+    scores = [
+        (lang, F.size(F.filter(toks, _marker_filter(words))))
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(col) -> Column:
+    """64-bit rolling-hash-style fingerprint of the normalized text —
+    stable under whitespace/case/punctuation jitter; the exact-dup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " ")
+    return F.xxhash64(F.trim(normalized))
+
+
+def word_ngrams(col, n: int = 3) -> Column:
+    """Array of word n-gram strings (shingles) — the unit for MinHash /
+    Jaccard. Text is normalized (lowercase, punctuation stripped) the same
+    way as doc_fingerprint, so case/punctuation jitter doesn't perturb the
+    shingle set. Native HOF: transform over a sliding index sequence."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]+", " "))
+    count = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(count >= n, F.array_distinct(grams)) \
+        .otherwise(F.when(count > 0,
+                          F.array(F.concat_ws(" ", toks)))
+                   .otherwise(F.array().cast("array<string>")))

@@ -1,0 +1,79 @@
+"""Structured-Streaming mode of the CDC pipeline (SURVEY.md §2.3).
+
+``readStream`` tails the WAL directory as a file stream;
+``foreachBatch`` funnels every micro-batch through the same idempotent
+LakeTable.merge as the batch pipeline, so exactly-once composes from
+(streaming checkpoint offsets) × (batch-id-idempotent sink commits) —
+the standard Spark recipe for transactional foreachBatch sinks.
+
+Last-writer-wins MERGE is order-insensitive (tombstones retained), so
+late data folds in correctly without watermarking; a watermark is only
+needed if a bounded-state windowed aggregate is added on top.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import FilterConfig
+from ..plans.compiler import compile_filter
+from ..cdc.lake import LakeTable
+from ..cdc.pipeline import CDCPipeline
+
+
+class StreamingCDC:
+    def __init__(self, spark: SparkSession, wal_path: str, lake_path: str,
+                 checkpoint_path: str, filter_config=None,
+                 key: str = "url", order: tuple = ("warc_ts", "seq"),
+                 num_buckets: int = 64,
+                 max_files_per_trigger: int | None = None):
+        self.spark = spark
+        self.wal_path = wal_path
+        self.lake_path = lake_path
+        self.checkpoint_path = checkpoint_path
+        self.config = filter_config if isinstance(filter_config, FilterConfig) \
+            else FilterConfig.from_dict(filter_config or {})
+        self.key = key
+        self.order = tuple(order)
+        self.num_buckets = num_buckets
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _stream(self) -> DataFrame:
+        static = self.spark.read.parquet(self.wal_path)
+        reader = (self.spark.readStream
+                  .schema(static.schema)
+                  .option("basePath", self.wal_path))
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   str(self.max_files_per_trigger))
+        return reader.parquet(os.path.join(self.wal_path, "chunk=*")) \
+                     .drop("chunk")
+
+    def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
+        compiled = compile_filter(self.config, batch_df.schema)
+        helper = CDCPipeline(
+            self.spark, self.wal_path, self.lake_path,
+            os.path.join(self.checkpoint_path, "_sink_cp"),
+            filter_config=self.config, key=self.key, order=self.order,
+            num_buckets=self.num_buckets)
+        projected, out_schema = helper._project(batch_df, self.config)
+        lake = helper._ensure_lake(out_schema)
+        # epoch ids are 0-based and replayed on recovery; the lake skips
+        # batch ids it has already committed
+        lake.merge(projected, epoch_id + 1)
+        del compiled
+
+    def run_available_now(self) -> None:
+        """Drain everything currently in the WAL, then stop (the
+        streaming analog of CDCPipeline.run())."""
+        q = (self._stream().writeStream
+             .foreachBatch(self._apply)
+             .option("checkpointLocation", self.checkpoint_path)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    def table(self) -> LakeTable:
+        return LakeTable(self.spark, self.lake_path)

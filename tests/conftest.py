@@ -26,6 +26,6 @@ def spark():
     spark.stop()
 
 
-@pytest.fixture()
+@pytest.fixture(scope="session")
 def sf_dir():
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -1,0 +1,189 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing — against the driver testdata tables
+plus synthetic fixtures with known duplicates."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_filter_column_spark.functions.text import word_ngrams
+from embulk_filter_column_spark.functions.vectors import cosine_similarity
+from embulk_filter_column_spark.operators import (
+    annotate_text,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    lsh_topk,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from embulk_filter_column_spark.operators.multimodal import (
+    extract_features,
+    fake_media_table,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "The quick brown fox jumps over the lazy dog near the river!"),
+        (3, "the quick brown fox jumps over the lazy dog near the creek"),
+        (4, "completely different text about spark query engines and joins"),
+        (5, "another unrelated document concerning parquet column pruning"),
+        (6, "the quick brown fox jumps over the lazy dog near the river"),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).orderBy("doc_id").collect()
+    # 1, 2 and 6 normalize identically → representative doc_id 1
+    kept = [r["doc_id"] for r in out]
+    assert kept == [1, 3, 4, 5]
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[1] == 3
+    assert by_id[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["a"], r["b"])
+             for r in minhash_lsh_candidates(docs, num_hashes=16,
+                                             bands=8).collect()}
+    assert (1, 6) in pairs          # identical
+    assert (1, 2) in pairs          # near-identical
+    assert (4, 5) not in pairs      # unrelated
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 6)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_simhash_near_dups_close(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash(docs).select("doc_id", "simhash").collect()}
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert sigs[1] == sigs[6]
+    assert hamming(sigs[1], sigs[3]) < hamming(sigs[1], sigs[4])
+    assert hamming(sigs[1], sigs[2]) <= 8
+
+
+def test_annotate_text(spark, docs):
+    out = {r["doc_id"]: r for r in annotate_text(docs).collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[1]["n_tokens"] == 12
+    assert out[1]["fingerprint"] == out[2]["fingerprint"] \
+        == out[6]["fingerprint"]
+    assert 0.0 <= out[4]["quality"] <= 1.0
+
+
+def test_annotate_on_documents_table(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = annotate_text(df)
+    assert out.count() == df.count()
+    assert out.where(F.col("n_tokens") <= 0).count() == 0
+
+
+# -- embeddings -------------------------------------------------------------
+
+def brute_force_oracle(rows, q, k):
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+    scored = sorted(((round(cos(r["embedding"], q), 6), -r["vec_id"])
+                     for r in rows), reverse=True)
+    return [(-i, c) for c, i in scored[:k]]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_brute_force_topk_matches_python_oracle(spark, emb):
+    rows = emb.collect()
+    q = rows[0]["embedding"]
+    got = [(r["vec_id"], r["cosine"])
+           for r in brute_force_topk(emb, q, k=5).collect()]
+    want = brute_force_oracle(rows, q, 5)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-4
+
+
+def test_lsh_topk_recall_planted_cluster(spark):
+    # ANN contract: high recall on genuinely-near neighbors. 50 random
+    # vectors + 10 planted near the query (cosine ≈ 0.99).
+    import numpy as np
+    rng = np.random.RandomState(11)
+    dim = 32
+    base = rng.normal(size=(50, dim))
+    q = rng.normal(size=dim)
+    planted = q + rng.normal(scale=0.05, size=(10, dim))
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(np.vstack([base, planted]))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    approx = {r["vec_id"]
+              for r in lsh_topk(df, [float(x) for x in q], k=10, dim=dim,
+                                n_planes=8, probe_bits=2).collect()}
+    planted_ids = set(range(50, 60))
+    assert len(approx & planted_ids) >= 8  # ≥80% recall on true neighbors
+
+
+def test_embedding_near_dup_pairs(spark):
+    # plant exact + near duplicates among random vectors
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(20, 16)).astype(float)
+    vecs[11] = vecs[1]                      # exact dup
+    vecs[12] = vecs[2] + rng.normal(scale=0.01, size=16)  # near dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["a"], r["b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(
+                 df, dim=16, threshold=0.95, n_planes=8).collect()}
+    assert (1, 11) in pairs and pairs[(1, 11)] >= 0.999999
+    assert (2, 12) in pairs
+
+
+def test_word_ngrams_short_text(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, ""), (3, "a b c d")],
+                               ["doc_id", "text"])
+    out = {r["doc_id"]: r["g"]
+           for r in df.select("doc_id",
+                              word_ngrams("text", 3).alias("g")).collect()}
+    assert out[1] == ["one two"]
+    assert out[2] == []
+    assert out[3] == ["a b c", "b c d"]
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_multimodal_fake_decoder(spark):
+    media = fake_media_table(spark, n=30)
+    out = extract_features(media, decoder="fake", feature_dim=8)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # determinism across runs
+    again = extract_features(media, decoder="fake", feature_dim=8).collect()
+    assert sorted(map(tuple, ((r["media_id"], tuple(r["feature"]))
+                              for r in rows))) == \
+        sorted(map(tuple, ((r["media_id"], tuple(r["feature"]))
+                           for r in again)))
+
+
+def test_multimodal_stub_decoder_raises(spark):
+    media = fake_media_table(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_features(media, decoder="stub").collect()
