@@ -1,0 +1,197 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline queries from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` plus a 1M-event CDC replay (the north-star
+metric), and prints ONE JSON line::
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "cdc_events_per_sec": N, ...}
+
+Scaling mode (``python bench.py --scaling``): runs the identical CDC
+replay job in two subprocesses at local[8] and local[32] and reports
+events/sec at both plus efficiency = (T32/T8)/4 — the sandbox stand-in
+for the north rule's N→4N-executor criterion (BASELINE.md §scaling).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _mk_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("bench")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def cdc_replay(spark, n_events: int, chunks_per_batch: int = 2,
+               n_chunks: int = 8) -> dict:
+    """The north-star job: generate a deterministic web change-event WAL,
+    replay it through projection → LWW dedup → bucketed MERGE, return
+    events/sec of the replay (WAL write excluded — it's test setup)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from embulk_filter_column_spark.cdc import CDCPipeline
+    from embulk_filter_column_spark.sources import (
+        web_change_events,
+        write_wal,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        events = web_change_events(
+            spark, n_events, n_domains=max(n_events // 10_000, 10),
+            pages_per_domain=200, seed=42)
+        write_wal(events, f"{base}/wal",
+                  chunk_rows=max(n_events // n_chunks, 1))
+        cfg = {"columns": [
+            {"name": "op"}, {"name": "seq"}, {"name": "url"},
+            {"name": "warc_ts"},
+            {"name": "body", "src": "text"},
+            {"name": "lang", "default": "und"},
+        ]}
+        t0 = time.monotonic()
+        pipe = CDCPipeline(
+            spark, f"{base}/wal", f"{base}/lake", f"{base}/cp",
+            filter_config=cfg, num_buckets=64,
+            chunks_per_batch=chunks_per_batch)
+        results = pipe.run()
+        dt = time.monotonic() - t0
+        merged = sum(r.rows_in for r in results)
+        return {"sec": dt, "events": merged,
+                "events_per_sec": merged / dt,
+                "batches": len(results)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+BENCH_QUERIES = (
+    "filter_keep",
+    "filter_json_keep",
+    "cdc_lww_dedup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "similarity_bruteforce",
+    "similarity_lsh",
+    "text_token_counts",
+    "text_quality",
+    "text_lang_id",
+    "multimodal_features",
+    "cdc_merge_replay",
+)
+
+
+def run_bench() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+
+    spark = _mk_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    # warm up the JVM / Python worker pool outside the timings
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        # noop sink materializes every column (count() would let Catalyst
+        # prune the projection away entirely)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"  {name}: {dt:.2f}s", file=sys.stderr)
+
+    t0 = time.monotonic()
+    replay = cdc_replay(spark, n_events)
+    total += time.monotonic() - t0
+    timings["cdc_replay_1m"] = round(replay["sec"], 3)
+
+    out = {
+        "metric": "total_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "cores": cores,
+        "cdc_replay_events": replay["events"],
+        "cdc_events_per_sec": round(replay["events_per_sec"], 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def run_worker(cores: int, n_events: int) -> None:
+    spark = _mk_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    replay = cdc_replay(spark, n_events)
+    print(json.dumps({"cores": cores, **replay}))
+    spark.stop()
+
+
+def run_scaling() -> None:
+    """Same job, two parallelism levels, same input → scaling efficiency."""
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(cores), str(n_events)],
+            capture_output=True, text=True, check=True)
+        results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+        print(f"  local[{cores}]: "
+              f"{results[cores]['events_per_sec']:.0f} events/s",
+              file=sys.stderr)
+    eff = (results[32]["events_per_sec"]
+           / results[8]["events_per_sec"]) / 4.0
+    print(json.dumps({
+        "metric": "cdc_scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_events": n_events,
+        "events_per_sec_local8": round(results[8]["events_per_sec"], 1),
+        "events_per_sec_local32": round(results[32]["events_per_sec"], 1),
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        run_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        run_worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        run_bench()
