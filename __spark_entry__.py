@@ -21,11 +21,19 @@ Conventions
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# make the sibling package importable even when this module is loaded by
+# file path from another working directory
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from embulk_filter_column_spark import apply_filter
 from embulk_filter_column_spark.cdc import CDCPipeline
@@ -42,6 +50,7 @@ from embulk_filter_column_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_pairs,
 )
 from embulk_filter_column_spark.operators.multimodal import (
     extract_features,
@@ -58,8 +67,42 @@ from embulk_filter_column_spark.sources.events import write_wal
 # helpers
 
 
+_SHIPPED_APPS: set = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors as a py-files zip. UDF closures
+    reference package modules by name, so Python workers must be able to
+    import ``embulk_filter_column_spark`` even when the driver process
+    was not launched with PYTHONPATH pointing at the repo — the same
+    packaging contract as ``spark-submit --py-files``."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    import os
+    import zipfile
+
+    import embulk_filter_column_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"efcs_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        rel = os.path.relpath(
+                            full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_APPS.add(app_id)
+
+
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_shipped(spark)
 
 
 def _epoch_us(col: str):
@@ -252,7 +295,11 @@ def q_cdc_lww_dedup(spark, sf_dir):
 def _final_state(spark, sf_dir, config_schedule=None):
     log = _event_changelog(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="spark_graft_cdc_")
-    write_wal(log, f"{base}/wal", chunk_rows=1000)
+    # ~10 chunks at any scale; at sf0.01 (10k events) this is exactly
+    # chunk_rows=1000, which the cdc_schema_evolution oracle's seq-5000
+    # config-switch boundary depends on
+    n = log.count()
+    write_wal(log, f"{base}/wal", chunk_rows=max(1000, n // 10))
     pipe = CDCPipeline(
         spark, f"{base}/wal", f"{base}/lake", f"{base}/cp",
         config_schedule=config_schedule,
@@ -334,6 +381,13 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(d).select("doc_id", "simhash")
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    # banded hamming blocking over xxhash64 signatures — rows-only check
+    _utc(spark)
+    return simhash_near_dup_pairs(_docs_with_dups(spark, sf_dir),
+                                  max_hamming=8)
+
+
 def _query_vec(spark, sf_dir):
     row = (_load(spark, sf_dir, "embeddings")
            .where(F.col("vec_id") == 0).select("embedding").first())
@@ -412,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
         "text_token_counts": q_text_token_counts,

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..errors import EngineError
-from .dedup import last_writer_wins
+from .dedup import last_writer_wins, salted_last_writer_wins
 
 OP_COL = "_op"
 
@@ -215,10 +215,12 @@ class LakeTable:
     # -- merge ----------------------------------------------------------------
 
     def merge(self, batch: DataFrame, batch_id: int,
-              op_col: str = "op") -> MergeResult:
+              op_col: str = "op", n_salts: int | None = None) -> MergeResult:
         """Key-partitioned MERGE upsert (last-writer-wins by the table's
         order columns; op 'D' → tombstone). Replay-safe: a batch id at or
-        below the committed one is skipped without touching data."""
+        below the committed one is skipped without touching data.
+        ``n_salts`` switches the in-batch dedup to the two-stage salted
+        LWW for hot-key skew (cdc.dedup.salted_last_writer_wins)."""
         m = self.head()
         if batch_id <= m["batch_id"]:
             return MergeResult(batch_id, m["snapshot_id"], skipped=True)
@@ -239,7 +241,11 @@ class LakeTable:
         src = src.select(*[c for c in (*target_names, OP_COL)
                            if c in src.columns])
         src = src.observe(obs, F.count(F.lit(1)).alias("rows_in"))
-        winners = last_writer_wins(src, key=key, order=order)
+        if n_salts:
+            winners = salted_last_writer_wins(
+                src, key=key, order=order, n_salts=n_salts)
+        else:
+            winners = last_writer_wins(src, key=key, order=order)
 
         bucket_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(nbuckets)) \
             .cast("int")

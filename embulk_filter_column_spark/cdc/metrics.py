@@ -1,17 +1,26 @@
 """Per-batch lineage + metrics tables (SURVEY.md §7 step 7).
 
-Appended as small parquet rows next to the lake table:
+Appended as small parquet files next to the lake table:
 
 * ``_lineage``  — batch id → WAL offset range → lake snapshot id
 * ``_metrics``  — per-batch row counts (from ``Observation``s collected
   during the merge job itself — no extra pass over the data) + wall time
 
-Both are ordinary tables readable with ``spark.read.parquet``.
+Both are ordinary parquet directories readable with
+``spark.read.parquet``. The rows are written with pyarrow directly on
+the driver: a one-row metadata append must not cost a Spark job
+(measured 4-13 s per batch for two ``createDataFrame(...).coalesce(1)``
+writes — the Python-worker round trips scale with defaultParallelism
+and were the single largest per-batch overhead in the replay loop).
 """
 
 from __future__ import annotations
 
 import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
@@ -33,6 +42,28 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("wall_sec", T.DoubleType()),
 ])
 
+_LINEAGE_PA = pa.schema([
+    ("batch_id", pa.int64()), ("chunk_lo", pa.int64()),
+    ("chunk_hi", pa.int64()), ("snapshot_id", pa.int64()),
+    ("skipped", pa.bool_()),
+])
+
+_METRICS_PA = pa.schema([
+    ("batch_id", pa.int64()), ("rows_in", pa.int64()),
+    ("winners", pa.int64()), ("tombstones", pa.int64()),
+    ("buckets_touched", pa.int64()), ("wall_sec", pa.float64()),
+])
+
+
+def _append_row(path: str, schema: pa.Schema, row: dict) -> None:
+    """Atomic single-row parquet append: write temp file, rename in."""
+    os.makedirs(path, exist_ok=True)
+    table = pa.Table.from_pylist([row], schema=schema)
+    name = "part-%08d-%s.parquet" % (row["batch_id"], uuid.uuid4().hex[:8])
+    tmp = os.path.join(path, "." + name + ".tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(path, name))
+
 
 class BatchJournal:
     def __init__(self, spark: SparkSession, lake_path: str):
@@ -42,15 +73,15 @@ class BatchJournal:
 
     def record(self, result, chunk_lo: int, chunk_hi: int,
                wall_sec: float) -> None:
-        lineage = self.spark.createDataFrame(
-            [(result.batch_id, chunk_lo, chunk_hi, result.snapshot_id,
-              result.skipped)], LINEAGE_SCHEMA)
-        lineage.coalesce(1).write.mode("append").parquet(self.lineage_path)
-        metrics = self.spark.createDataFrame(
-            [(result.batch_id, result.rows_in, result.winners,
-              result.tombstones, result.buckets_touched, wall_sec)],
-            METRICS_SCHEMA)
-        metrics.coalesce(1).write.mode("append").parquet(self.metrics_path)
+        _append_row(self.lineage_path, _LINEAGE_PA, {
+            "batch_id": result.batch_id, "chunk_lo": chunk_lo,
+            "chunk_hi": chunk_hi, "snapshot_id": result.snapshot_id,
+            "skipped": result.skipped})
+        _append_row(self.metrics_path, _METRICS_PA, {
+            "batch_id": result.batch_id, "rows_in": result.rows_in,
+            "winners": result.winners, "tombstones": result.tombstones,
+            "buckets_touched": result.buckets_touched,
+            "wall_sec": float(wall_sec)})
 
     def lineage(self):
         return self.spark.read.parquet(self.lineage_path)

@@ -46,6 +46,7 @@ class CDCPipeline:
         order: tuple = ("warc_ts", "seq"),
         num_buckets: int = 64,
         chunks_per_batch: int = 1,
+        n_salts: int | None = None,
     ):
         self.spark = spark
         self.reader = WalReader(spark, wal_path)
@@ -55,6 +56,9 @@ class CDCPipeline:
         self.order = tuple(order)
         self.num_buckets = num_buckets
         self.chunks_per_batch = chunks_per_batch
+        # hot-key skew defense: fan the in-batch LWW out over this many
+        # salts (cdc.dedup.salted_last_writer_wins); None = single-stage
+        self.n_salts = n_salts
         if config_schedule:
             self.schedule = sorted(
                 ((int(k), self._coerce(v)) for k, v in
@@ -127,7 +131,8 @@ class CDCPipeline:
             events = self.reader.read_chunks(lo, hi)
             projected, out_schema = self._project(events, config)
             lake = self._ensure_lake(out_schema)
-            result = lake.merge(projected, batch_id)
+            result = lake.merge(projected, batch_id,
+                                n_salts=self.n_salts)
             self.journal.record(result, lo, hi, time.monotonic() - t0)
             self.checkpoint.commit(hi, batch_id)
             results.append(result)

@@ -4,6 +4,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_pairs,
 )
 from .similarity import brute_force_topk, lsh_topk  # noqa: F401
 from .textquality import annotate_text  # noqa: F401

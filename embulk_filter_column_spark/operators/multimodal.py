@@ -80,7 +80,11 @@ def fake_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
     id) for exercising the plumbing."""
     from pyspark.sql import functions as F
 
-    df = spark.range(n)
+    # size partitions to the row count — spark.range defaults to one
+    # partition per core, and mapInPandas pays a Python-worker round trip
+    # per partition (32 near-empty Arrow batches for a 200-row table)
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 1000))
+    df = spark.range(0, n, 1, n_parts)
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"))

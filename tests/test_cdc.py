@@ -146,3 +146,46 @@ def test_schema_evolution_mid_stream(spark, wal, tmp_path):
     quality = {r["url"]: r["quality"] for r in table.collect()}
     assert set(quality.values()) <= {None, 1.0}
     assert None in quality.values() and 1.0 in quality.values()
+
+
+def test_salted_lww_equals_plain_on_hot_keys(spark):
+    """Two-stage salted LWW must be result-identical to the single-stage
+    aggregate under extreme key skew (one key owns ~90% of events)."""
+    from pyspark.sql import functions as F
+
+    from embulk_filter_column_spark.cdc.dedup import (
+        hot_keys,
+        last_writer_wins,
+        salted_last_writer_wins,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, "https://hot.example.com/")
+         .otherwise(F.concat(F.lit("https://cold"),
+                             F.pmod(F.col("id"), F.lit(50)),
+                             F.lit(".example.com/"))).alias("url"),
+        F.col("id").alias("seq"),
+        F.timestamp_seconds(F.pmod(F.xxhash64("id"), F.lit(10_000)))
+         .alias("warc_ts"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text"))
+
+    plain = {(r["url"], r["seq"], r["text"]) for r in
+             last_writer_wins(df).collect()}
+    salted = {(r["url"], r["seq"], r["text"]) for r in
+              salted_last_writer_wins(df, n_salts=8).collect()}
+    # cold ids are ≡9 mod 10, so pmod(id, 50) hits {9,19,29,39,49}:
+    # 5 cold urls + the hot one
+    assert plain == salted and len(plain) == 6
+
+    hot = hot_keys(df, fraction=0.1, min_share=0.05)
+    assert hot == ["https://hot.example.com/"]
+
+
+def test_pipeline_with_salting_matches_oracle(spark, wal, tmp_path):
+    pipe = CDCPipeline(spark, wal, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), num_buckets=8, n_salts=4)
+    pipe.run()
+    want = oracle_state(spark, wal)
+    got = final_pairs(pipe.table().read())
+    assert got == sorted(zip(want["url"], want["text"]))

@@ -187,3 +187,15 @@ def test_multimodal_stub_decoder_raises(spark):
     media = fake_media_table(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         extract_features(media, decoder="stub").collect()
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    from embulk_filter_column_spark.operators import simhash_near_dup_pairs
+
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_near_dup_pairs(docs, max_hamming=8).collect()}
+    # 1, 2, 6: same text modulo case/punct-token — 1↔6 identical tokens
+    assert pairs[(1, 6)] == 0
+    assert (1, 2) in pairs
+    # unrelated docs never become candidates within the hamming budget
+    assert all(4 not in p and 5 not in p for p in pairs)
