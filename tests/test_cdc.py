@@ -189,3 +189,54 @@ def test_pipeline_with_salting_matches_oracle(spark, wal, tmp_path):
     want = oracle_state(spark, wal)
     got = final_pairs(pipe.table().read())
     assert got == sorted(zip(want["url"], want["text"]))
+
+
+def test_replay_with_json_rules(spark, tmp_path):
+    """Envelope with the extra json payload column (SURVEY.md §1.4):
+    JSONPath keep/reorder/default rules applied per batch, LWW winner's
+    transformed meta in the final state."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from embulk_filter_column_spark.sources import (
+        web_change_events,
+        write_wal,
+    )
+
+    wal = str(tmp_path / "wal")
+    ev = web_change_events(spark, 1000, n_domains=10, pages_per_domain=5,
+                           seed=7, with_meta=True)
+    assert "meta" in ev.columns
+    write_wal(ev, wal, chunk_rows=500)
+
+    cfg = {"json_columns": ["meta"], "columns": [
+        {"name": "op"}, {"name": "seq"}, {"name": "url"},
+        {"name": "warc_ts"}, {"name": "text"},
+        {"name": "meta"},
+        {"name": "$.meta.title"},
+        {"name": "$.meta.tags"},
+        {"name": "$.meta.quality", "type": "double", "default": 0.5},
+    ]}
+    pipe = CDCPipeline(spark, wal, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), filter_config=cfg,
+                       num_buckets=4)
+    pipe.run()
+    rows = pipe.table().read().collect()
+    assert rows
+
+    # oracle: winner per url from the raw events, meta reshaped in rule
+    # order (title, tags, quality-default), 'crawl'/'noise' dropped
+    pdf = ev.toPandas().sort_values(["warc_ts", "seq"])
+    winners = pdf.groupby("url", as_index=False).last()
+    winners = winners[winners["op"] != "D"].set_index("url")
+    for r in rows:
+        want_raw = winners.loc[r["url"], "meta"]
+        if want_raw is None:
+            assert r["meta"] is None
+            continue
+        d = json.loads(want_raw)
+        want = json.dumps(
+            {"title": d["title"], "tags": d["tags"], "quality": 0.5},
+            separators=(",", ":"))
+        assert r["meta"] == want
