@@ -339,6 +339,27 @@ def q_cdc_schema_evolution(spark, sf_dir):
                         "etype", "value", "quality")
 
 
+def q_cdc_streaming_replay(spark, sf_dir):
+    """Structured-Streaming mode: readStream over the WAL, foreachBatch
+    MERGE with availableNow drain — must converge to the same final
+    state as the batch replay (same oracle)."""
+    from embulk_filter_column_spark.streaming import StreamingCDC
+
+    _utc(spark)
+    log = _event_changelog(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    n = log.count()
+    write_wal(log, f"{base}/wal", chunk_rows=max(1000, n // 10))
+    job = StreamingCDC(spark, f"{base}/wal", f"{base}/lake",
+                       f"{base}/cp", key="user_id", order=("ts", "seq"),
+                       num_buckets=16, max_files_per_trigger=4)
+    job.run_available_now()
+    state = job.table().read()
+    return state.select("user_id", F.col("seq").alias("event_id"),
+                        _epoch_us("ts").alias("ts_us"),
+                        "event_type", "value")
+
+
 def q_wal_offset_read(spark, sf_dir):
     """Chunked WAL + offset-range read (directory-pruned scan)."""
     _utc(spark)
@@ -460,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_dedup": q_cdc_lww_dedup,
         "cdc_merge_replay": q_cdc_merge_replay,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_streaming_replay": q_cdc_streaming_replay,
         "wal_offset_read": q_wal_offset_read,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -538,6 +560,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1
         """,
         "cdc_merge_replay": _CHANGELOG_WINNER_SQL + """
+            SELECT user_id, seq AS event_id, epoch_us(ts) AS ts_us,
+                   event_type, value
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_streaming_replay": _CHANGELOG_WINNER_SQL + """
             SELECT user_id, seq AS event_id, epoch_us(ts) AS ts_us,
                    event_type, value
             FROM ranked WHERE rn = 1 AND op <> 'D'
