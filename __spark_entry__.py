@@ -282,6 +282,26 @@ def q_filter_json_rename(spark, sf_dir):
                     {"name": "$.props.kk", "src": "$.props.k"}]})
 
 
+def q_filter_chain(spark, sf_dir):
+    """Two chained filter stages (reference: example/bracket_notations.yml
+    runs multiple `- type: column` stages): stage 1 keeps + prunes the
+    json doc, stage 2 adds a nested key — json-ness must survive the
+    stage boundary via the schema metadata marker."""
+    from embulk_filter_column_spark import apply_filters
+
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    out = apply_filters(ev, [
+        {"json_columns": ["props"],
+         "columns": [{"name": "event_id"}, {"name": "props"},
+                     {"name": "$.props.k"}]},
+        {"add_columns": [
+            {"name": "$.props.v2", "type": "long", "default": 2},
+            {"name": "stage", "type": "string", "default": "two"}]},
+    ])
+    return out.select("event_id", "props", "stage")
+
+
 def q_cdc_lww_dedup(spark, sf_dir):
     _utc(spark)
     ev = _load(spark, sf_dir, "events").select(
@@ -478,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_json_add": q_filter_json_add,
         "filter_json_drop": q_filter_json_drop,
         "filter_json_rename": q_filter_json_rename,
+        "filter_chain": q_filter_chain,
         "cdc_lww_dedup": q_cdc_lww_dedup,
         "cdc_merge_replay": q_cdc_merge_replay,
         "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -546,6 +567,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    '{"kk":' || CAST(json_extract(props, '$.k') AS VARCHAR)
                        || '}' AS props
+            FROM events
+        """,
+        "filter_chain": """
+            SELECT event_id,
+                   '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR)
+                       || ',"v2":2}' AS props,
+                   'two' AS stage
             FROM events
         """,
         "cdc_lww_dedup": """
