@@ -312,14 +312,13 @@ def q_cdc_lww_dedup(spark, sf_dir):
                       "event_type", "value")
 
 
-def _final_state(spark, sf_dir, config_schedule=None):
+def _final_state(spark, sf_dir, config_schedule=None, chunk_rows=None):
     log = _event_changelog(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="spark_graft_cdc_")
-    # ~10 chunks at any scale; at sf0.01 (10k events) this is exactly
-    # chunk_rows=1000, which the cdc_schema_evolution oracle's seq-5000
-    # config-switch boundary depends on
-    n = log.count()
-    write_wal(log, f"{base}/wal", chunk_rows=max(1000, n // 10))
+    if chunk_rows is None:
+        # ~10 chunks at any scale
+        chunk_rows = max(1000, log.count() // 10)
+    write_wal(log, f"{base}/wal", chunk_rows=chunk_rows)
     pipe = CDCPipeline(
         spark, f"{base}/wal", f"{base}/lake", f"{base}/cp",
         config_schedule=config_schedule,
@@ -353,8 +352,12 @@ def q_cdc_schema_evolution(spark, sf_dir):
         {"name": "etype", "src": "event_type"},
         {"name": "value"},
         {"name": "quality", "type": "double", "default": 1.0}]}
+    # chunk_rows pinned to 1000: the oracle's `seq >= 5000` config-switch
+    # boundary is 5 * chunk_rows by construction, so it must not scale
+    # with the input size
     state = _final_state(spark, sf_dir,
-                         config_schedule={0: base, 5: evolved})
+                         config_schedule={0: base, 5: evolved},
+                         chunk_rows=1000)
     return state.select("user_id", F.col("seq").alias("event_id"),
                         "etype", "value", "quality")
 

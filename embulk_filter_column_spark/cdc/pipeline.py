@@ -80,7 +80,15 @@ class CDCPipeline:
         return active
 
     def _project(self, df, config: FilterConfig):
+        # compile once per (config, input schema): the rule tree is
+        # schema-static, so a steady-state stream compiles exactly once
+        cache_key = (id(config), df.schema.json())
+        cached = getattr(self, "_compile_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            compiled = cached[1]
+            return compiled.apply(df), compiled.output_schema
         compiled = compile_filter(config, df.schema)
+        self._compile_cache = (cache_key, compiled)
         out_names = [f.name for f in compiled.output_schema.fields]
         missing = [c for c in (self.key, *self.order, "op")
                    if c not in out_names]

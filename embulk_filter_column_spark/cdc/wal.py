@@ -38,7 +38,26 @@ class WalReader:
         return (ids[-1] + 1) if ids else 0
 
     def read_chunks(self, lo: int, hi: int) -> DataFrame:
-        """Events with chunk offset in [lo, hi) — directory-pruned scan."""
-        df = self.spark.read.parquet(self.path)
+        """Events with chunk offset in [lo, hi).
+
+        The read is constructed from the explicit ``chunk=<n>`` directory
+        paths (with ``basePath`` so the partition column survives), not a
+        whole-root scan plus a filter: a root scan's file-index listing is
+        O(all chunks) per batch even though partition pruning skips the
+        *reads* — at 10^5 chunks that listing is a per-batch driver
+        metadata bottleneck. Scoped paths keep planning O(chunks in
+        batch)."""
+        dirs = [
+            os.path.join(self.path, "chunk=%d" % c)
+            for c in range(lo, hi)
+            if os.path.isdir(os.path.join(self.path, "chunk=%d" % c))
+        ]
+        if not dirs:
+            # empty range: preserve the schema via a zero-row slice
+            return (self.spark.read.parquet(self.path)
+                    .where(F.lit(False)).drop("chunk"))
+        df = (self.spark.read
+              .option("basePath", self.path)
+              .parquet(*dirs))
         return (df.where((F.col("chunk") >= lo) & (F.col("chunk") < hi))
                   .drop("chunk"))

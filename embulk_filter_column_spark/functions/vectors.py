@@ -55,9 +55,16 @@ def hyperplane_bucket(a, dim: int, n_planes: int = 16,
     # them and pandas_udf inference rejects unresolvable strings
     def _bucket(s):
         if len(s) == 0:
-            return pd.Series([], dtype="int64")
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in s])
-        bits = (mat @ planes_t) >= 0
-        return pd.Series(bits @ weights)
+            return pd.Series([], dtype="Int64")
+        # dirty input must yield NULL, not crash the batch: mask null or
+        # wrong-dimension vectors, matmul only the valid rows
+        valid = s.map(lambda v: v is not None and len(v) == dim)
+        out = pd.Series([pd.NA] * len(s), index=s.index, dtype="Int64")
+        if valid.any():
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in s[valid]])
+            bits = (mat @ planes_t) >= 0
+            out[valid] = bits @ weights
+        return out
 
     return F.pandas_udf(_bucket, "long")(_c(a))
