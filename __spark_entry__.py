@@ -47,10 +47,10 @@ from embulk_filter_column_spark.functions.text import (
 from embulk_filter_column_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
-    minhash_lsh_candidates,
+    minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
-    simhash_near_dup_pairs,
+    simhash_jaccard_pairs,
 )
 from embulk_filter_column_spark.operators.multimodal import (
     extract_features,
@@ -172,6 +172,43 @@ _CHANGELOG_WINNER_SQL = """
 _TOKS_SQL = ("list_filter(string_split_regex(lower(trim({c})), '\\s+'), "
              "x -> x <> '')")
 _NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+# the exact n-gram-Jaccard similarity join over documents ∪ planted dups
+# (threshold 0.8) — the oracle for dedup_ngram_jaccard AND for the
+# LSH-blocked + exact-verified variants (MinHash bands, SimHash pigeonhole
+# bands), whose outputs equal the exact join
+_JACCARD_PAIRS_SQL = f"""
+    WITH all_docs AS ({_DOCS_DUPS_SQL}),
+    toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   trim(regexp_replace(lower(text),
+                        '[^a-z0-9\\s]+', ' ', 'g')), '\\s+'),
+                   x -> x <> '') AS t
+        FROM all_docs),
+    shingled AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN list_distinct(
+                        [array_to_string(t[i+1:i+3], ' ')
+                         FOR i IN range(len(t) - 2)])
+                    WHEN len(t) > 0 THEN
+                        [array_to_string(t, ' ')]
+                    ELSE [] END AS sh
+        FROM toked),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    inter AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+        FROM inv l JOIN inv r
+          ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM shingled)
+    SELECT a, b,
+           round(i / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE i / (sa.n + sb.n - i) >= 0.8
+"""
 
 
 def _sql_lang_id(c: str) -> str:
@@ -413,23 +450,45 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    # xxhash64 signatures — not DuckDB-expressible; rows-only check
+    """MinHash-LSH blocking + exact-Jaccard verification: output = the
+    exact similarity join (LSH prunes candidates, verification removes
+    band false positives), so the oracle is the plain SQL Jaccard join —
+    any recall loss or band-key bug shows as a row-count/hash mismatch."""
     _utc(spark)
-    return minhash_lsh_candidates(_docs_with_dups(spark, sf_dir))
+    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir),
+                             bands=8, threshold=0.8)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    # xxhash64 bit votes — not DuckDB-expressible; rows-only check
+    """SimHash signature invariance: the planted duplicates differ only
+    by case/punctuation, which the normalized tokenization erases — so
+    each planted pair's signatures must be IDENTICAL (Hamming 0). The
+    xxhash64 bit votes themselves aren't SQL-expressible, but this
+    pinned property is."""
     _utc(spark)
-    d = _load(spark, sf_dir, "documents")
-    return simhash(d).select("doc_id", "simhash")
+    sigs = simhash(_docs_with_dups(spark, sf_dir)) \
+        .select("doc_id", "simhash")
+    orig = (sigs.where((F.col("doc_id") % 10 == 0)
+                       & (F.col("doc_id") < 1000000))
+            .select(F.col("doc_id").alias("a"),
+                    F.col("simhash").alias("sig_a")))
+    dup = (sigs.where(F.col("doc_id") >= 1000000)
+           .select((F.col("doc_id") - 1000000).alias("a"),
+                   F.col("doc_id").alias("b"),
+                   F.col("simhash").alias("sig_b")))
+    return (orig.join(dup, "a")
+            .select("a", "b",
+                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                     .alias("hamming")))
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    # banded hamming blocking over xxhash64 signatures — rows-only check
+    """SimHash pigeonhole blocking + exact-Jaccard verification — same
+    oracle as the exact Jaccard join (near-dup texts are within the
+    Hamming budget, so blocking recall is total on this corpus)."""
     _utc(spark)
-    return simhash_near_dup_pairs(_docs_with_dups(spark, sf_dir),
-                                  max_hamming=8)
+    return simhash_jaccard_pairs(_docs_with_dups(spark, sf_dir),
+                                 max_hamming=8, threshold=0.8)
 
 
 def _query_vec(spark, sf_dir):
@@ -446,11 +505,23 @@ def q_similarity_bruteforce(spark, sf_dir):
 
 
 def q_similarity_lsh(spark, sf_dir):
-    # hyperplane buckets need the seeded plane matrix — rows-only check
+    """ANN LSH top-k with planted neighbors: 9 positively-scaled copies
+    of the query vector (same hyperplane bucket by construction, cosine
+    exactly 1.0) are planted; the top-10 must be the query vector plus
+    those 9 planted ids — enumerable in SQL. A bucketing or rerank bug
+    drops planted rows or promotes organic ones (all cosine < 1)."""
     _utc(spark)
-    e = _load(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>"))
-    return lsh_topk(e, _query_vec(spark, sf_dir), k=10)
+    e = (_load(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("embedding")))
+    planted = (e.where(F.col("vec_id") == 0)
+               .select(F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i"),
+                       "embedding")
+               .select((F.col("i") + 2000000).alias("vec_id"),
+                       F.transform("embedding", lambda x: x * 1.001)
+                        .alias("embedding")))
+    return lsh_topk(e.unionByName(planted), _query_vec(spark, sf_dir),
+                    k=10)
 
 
 def q_text_token_counts(spark, sf_dir):
@@ -615,37 +686,20 @@ def oracle_sql() -> dict[str, str]:
             FROM all_docs
             GROUP BY {_NORM_SQL.format(c='text')}
         """,
-        "dedup_ngram_jaccard": f"""
-            WITH all_docs AS ({_DOCS_DUPS_SQL}),
-            toked AS (
-                SELECT doc_id,
-                       list_filter(string_split_regex(
-                           trim(regexp_replace(lower(text),
-                                '[^a-z0-9\\s]+', ' ', 'g')), '\\s+'),
-                           x -> x <> '') AS t
-                FROM all_docs),
-            shingled AS (
-                SELECT doc_id,
-                       CASE WHEN len(t) >= 3 THEN list_distinct(
-                                [array_to_string(t[i+1:i+3], ' ')
-                                 FOR i IN range(len(t) - 2)])
-                            WHEN len(t) > 0 THEN
-                                [array_to_string(t, ' ')]
-                            ELSE [] END AS sh
-                FROM toked),
-            inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
-            inter AS (
-                SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
-                FROM inv l JOIN inv r
-                  ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-                GROUP BY 1, 2),
-            sizes AS (SELECT doc_id, len(sh) AS n FROM shingled)
-            SELECT a, b,
-                   round(i / (sa.n + sb.n - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE i / (sa.n + sb.n - i) >= 0.8
+        # the exact Jaccard similarity join — also the oracle for the
+        # LSH-blocked + verified variants (their output is the same exact
+        # join; only the candidate-pruning strategy differs)
+        "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+        "dedup_simhash_pairs": _JACCARD_PAIRS_SQL,
+        "dedup_simhash": """
+            SELECT doc_id AS a, doc_id + 1000000 AS b, 0 AS hamming
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+        "similarity_lsh": """
+            SELECT CAST(0 AS BIGINT) AS vec_id, 1.0 AS cosine
+            UNION ALL
+            SELECT CAST(2000000 + i AS BIGINT), 1.0 FROM range(1, 10) t(i)
         """,
         "dedup_embedding": """
             SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cosine
