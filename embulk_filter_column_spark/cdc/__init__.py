@@ -6,4 +6,5 @@ from .dedup import (  # noqa: F401
 )
 from .lake import LakeTable  # noqa: F401
 from .pipeline import CDCPipeline  # noqa: F401
+from .sink import IcebergSink, Sink  # noqa: F401
 from .wal import WalReader  # noqa: F401

@@ -172,6 +172,51 @@ class LakeTable:
             cols.append(F.col(OP_COL))
         return df.select(*cols)
 
+    def rebucket(self, new_num_buckets: int) -> int:
+        """Re-bucketing snapshot: rewrite the current table state under a
+        new bucket count and commit it as a new snapshot (the analog of
+        Iceberg's REWRITE DATA with a changed bucket-transform width).
+
+        Why this exists at 100 TB: a MERGE rewrites every file of every
+        touched bucket (copy-on-write), so per-batch write amplification
+        is bounded by (touched buckets) × (table size / num_buckets). A
+        table created small (say 16 buckets) and grown 1000× would
+        rewrite ~1/16 of 100 TB per hot batch; raising the bucket count
+        to O(10³-10⁴) shrinks the rewrite unit proportionally. The
+        rewrite itself is one full-table pass — schedule it like a
+        compaction. Tombstones are carried over (replay order-insensitivity
+        must survive re-bucketing), and the committed batch id is
+        preserved so exactly-once resume is unaffected."""
+        m = self.head()
+        if new_num_buckets == m["num_buckets"]:
+            return m["snapshot_id"]
+        df = self.read(include_tombstones=True)
+        bucket_expr = F.pmod(F.xxhash64(F.col(m["key"])),
+                             F.lit(new_num_buckets)).cast("int")
+        new_snap = m["snapshot_id"] + 1
+        rel_dir = "data/s%08d" % new_snap
+        out_dir = os.path.join(self.path, rel_dir)
+        (df.withColumn("bucket", bucket_expr)
+           .repartition(new_num_buckets, "bucket")
+           .write.mode("overwrite").partitionBy("bucket")
+           .parquet(out_dir))
+        new_buckets = {}
+        cur_schema_id = m["schema_id"]
+        for bdir in glob.glob(os.path.join(out_dir, "bucket=*")):
+            b = int(os.path.basename(bdir).split("=", 1)[1])
+            paths = [os.path.relpath(p, self.path)
+                     for p in glob.glob(os.path.join(bdir, "*.parquet"))]
+            new_buckets[str(b)] = [
+                {"path": p, "schema_id": cur_schema_id} for p in paths]
+        m2 = dict(m)
+        m2["snapshot_id"] = new_snap
+        m2["parent"] = m["snapshot_id"]
+        m2["num_buckets"] = new_num_buckets
+        m2["buckets"] = new_buckets
+        self._write_manifest(m2)
+        self._commit_head(new_snap)
+        return new_snap
+
     # -- read ----------------------------------------------------------------
 
     def _read_files(self, groups: dict, manifest: dict) -> DataFrame | None:
@@ -236,74 +281,80 @@ class LakeTable:
             raise EngineError(
                 "merge batch is missing required columns %s" % missing)
 
-        obs = Observation()
         src = batch.withColumnRenamed(op_col, OP_COL)
         src = src.select(*[c for c in (*target_names, OP_COL)
                            if c in src.columns])
-        src = src.observe(obs, F.count(F.lit(1)).alias("rows_in"))
+
+        bucket_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(nbuckets)) \
+            .cast("int")
+        # touched buckets + rows_in from ONE aggregation over the batch
+        # KEYS, not from materialized winners: LWW preserves the key set,
+        # so the bucket sets are identical — and this query column-prunes
+        # the batch down to the key (the rule projection's other columns,
+        # including the Arrow json UDF, are pruned away). The winners
+        # pipeline is then consumed by exactly ONE job (the bucket
+        # write), so nothing is persisted/read back through the block
+        # store — on a bandwidth-bound host that double materialization
+        # was the single largest per-batch memory cost.
+        bucket_counts = (src.groupBy(bucket_expr.alias("bucket"))
+                         .count().collect())
+        touched = sorted(r["bucket"] for r in bucket_counts)
+        rows_in = sum(r["count"] for r in bucket_counts)
+
         if n_salts:
             winners = salted_last_writer_wins(
                 src, key=key, order=order, n_salts=n_salts)
         else:
             winners = last_writer_wins(src, key=key, order=order)
-
-        bucket_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(nbuckets)) \
-            .cast("int")
         winners = winners.withColumn("bucket", bucket_expr)
-        winners.persist()
-        try:
-            touched = sorted(
-                r[0] for r in winners.select("bucket").distinct().collect())
-            existing = self._read_files(self._file_groups(m, touched), m)
-            if existing is not None:
-                existing = existing.withColumn("bucket", bucket_expr)
-                combined = last_writer_wins(
-                    existing.unionByName(winners, allowMissingColumns=True),
-                    key=key, order=order)
-            else:
-                combined = winners
 
-            obs2 = Observation()
-            combined = combined.observe(
-                obs2,
-                F.count(F.lit(1)).alias("winners"),
-                F.sum(F.when(F.col(OP_COL) == "D", 1).otherwise(0))
-                 .alias("tombstones"))
+        existing = self._read_files(self._file_groups(m, touched), m)
+        if existing is not None:
+            existing = existing.withColumn("bucket", bucket_expr)
+            combined = last_writer_wins(
+                existing.unionByName(winners, allowMissingColumns=True),
+                key=key, order=order)
+        else:
+            combined = winners
 
-            new_snap = m["snapshot_id"] + 1
-            rel_dir = "data/s%08d" % new_snap
-            out_dir = os.path.join(self.path, rel_dir)
-            (combined
-             .repartition(max(len(touched), 1), "bucket")
-             .write.mode("overwrite").partitionBy("bucket")
-             .parquet(out_dir))
+        obs2 = Observation()
+        combined = combined.observe(
+            obs2,
+            F.count(F.lit(1)).alias("winners"),
+            F.sum(F.when(F.col(OP_COL) == "D", 1).otherwise(0))
+             .alias("tombstones"))
 
-            new_buckets = dict(m["buckets"])
-            cur_schema_id = m["schema_id"]
-            for b in touched:
-                paths = [
-                    os.path.relpath(p, self.path)
-                    for p in glob.glob(
-                        os.path.join(out_dir, "bucket=%d" % b, "*.parquet"))
-                ]
-                new_buckets[str(b)] = [
-                    {"path": p, "schema_id": cur_schema_id} for p in paths]
+        new_snap = m["snapshot_id"] + 1
+        rel_dir = "data/s%08d" % new_snap
+        out_dir = os.path.join(self.path, rel_dir)
+        (combined
+         .repartition(max(len(touched), 1), "bucket")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(out_dir))
 
-            m2 = dict(m)
-            m2["snapshot_id"] = new_snap
-            m2["parent"] = m["snapshot_id"]
-            m2["batch_id"] = batch_id
-            m2["buckets"] = new_buckets
-            self._write_manifest(m2)
-            self._commit_head(new_snap)
+        new_buckets = dict(m["buckets"])
+        cur_schema_id = m["schema_id"]
+        for b in touched:
+            paths = [
+                os.path.relpath(p, self.path)
+                for p in glob.glob(
+                    os.path.join(out_dir, "bucket=%d" % b, "*.parquet"))
+            ]
+            new_buckets[str(b)] = [
+                {"path": p, "schema_id": cur_schema_id} for p in paths]
 
-            stats = obs.get
-            stats2 = obs2.get
-            return MergeResult(
-                batch_id, new_snap, skipped=False,
-                rows_in=int(stats.get("rows_in") or 0),
-                winners=int(stats2.get("winners") or 0),
-                tombstones=int(stats2.get("tombstones") or 0),
-                buckets_touched=len(touched))
-        finally:
-            winners.unpersist()
+        m2 = dict(m)
+        m2["snapshot_id"] = new_snap
+        m2["parent"] = m["snapshot_id"]
+        m2["batch_id"] = batch_id
+        m2["buckets"] = new_buckets
+        self._write_manifest(m2)
+        self._commit_head(new_snap)
+
+        stats2 = obs2.get
+        return MergeResult(
+            batch_id, new_snap, skipped=False,
+            rows_in=int(rows_in),
+            winners=int(stats2.get("winners") or 0),
+            tombstones=int(stats2.get("tombstones") or 0),
+            buckets_touched=len(touched))

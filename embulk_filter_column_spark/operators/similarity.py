@@ -5,9 +5,11 @@
   full sort materialization).
 * lsh_topk — hyperplane-LSH bucketed search: candidates share the query's
   bucket (multi-probe: buckets within Hamming distance ``probe_bits``),
-  exact rerank inside the candidate set. At 10^10 rows the scan prunes to
-  the probed buckets when the table is written bucketed/partitioned by
-  the LSH key.
+  exact rerank inside the candidate set.
+* write_bucketed_embeddings / lsh_topk_bucketed — the 10^10-row layout:
+  the table is written ``partitionBy("bucket")`` on the LSH key, so a
+  probe query's ``bucket IN (...)`` filter is a partition-directory
+  prune — the scan reads only the probed buckets' files, not the table.
 """
 
 from __future__ import annotations
@@ -46,12 +48,8 @@ def _bucket_int(vec, dim: int, n_planes: int, seed: int) -> int:
     return int(sum(int(b) << i for i, b in enumerate(bits)))
 
 
-def lsh_topk(df: DataFrame, query_vec, k: int = 10,
-             vec_col: str = "embedding", id_col: str = "vec_id",
-             dim: int = 64, n_planes: int = 12, probe_bits: int = 1,
-             seed: int = 42) -> DataFrame:
-    """ANN top-k: restrict to LSH buckets within ``probe_bits`` bit flips
-    of the query's bucket, then exact cosine rerank."""
+def _probe_buckets(query_vec, dim: int, n_planes: int, probe_bits: int,
+                   seed: int) -> list:
     qb = _bucket_int(query_vec, dim, n_planes, seed)
     probes = {qb}
     if probe_bits >= 1:
@@ -60,10 +58,55 @@ def lsh_topk(df: DataFrame, query_vec, k: int = 10,
         for i in range(n_planes):
             for j in range(i + 1, n_planes):
                 probes.add(qb ^ (1 << i) ^ (1 << j))
+    return sorted(probes)
+
+
+def write_bucketed_embeddings(df: DataFrame, path: str,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id", dim: int = 64,
+                              n_planes: int = 12, seed: int = 42) -> None:
+    """Materialize the ANN index layout: the embedding table partitioned
+    by its hyperplane-LSH bucket. With 2^n_planes partition directories,
+    a multi-probe query touches O(n_planes) of them — at 10^10 rows the
+    probe scan is ~n_planes/2^n_planes of the table (plan-time partition
+    pruning, see lsh_topk_bucketed)."""
+    (df.withColumn("bucket",
+                   hyperplane_bucket(vec_col, dim, n_planes, seed))
+       .repartition("bucket")
+       .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def lsh_topk_bucketed(spark, path: str, query_vec, k: int = 10,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      dim: int = 64, n_planes: int = 12,
+                      probe_bits: int = 1, seed: int = 42) -> DataFrame:
+    """ANN top-k over a bucket-partitioned table written by
+    ``write_bucketed_embeddings``: the ``bucket IN (probes)`` predicate is
+    a partition filter, so the file index lists and reads ONLY the probed
+    bucket directories (verified via inputFiles in tests + EXPLAIN.md) —
+    no signature recomputation, no full scan."""
+    probes = _probe_buckets(query_vec, dim, n_planes, probe_bits, seed)
+    q = _query_lit(query_vec)
+    df = spark.read.parquet(path)
+    return (df.where(F.col("bucket").isin(probes))
+            .select(F.col(id_col),
+                    F.round(cosine_similarity(F.col(vec_col), q), 6)
+                     .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
+def lsh_topk(df: DataFrame, query_vec, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             dim: int = 64, n_planes: int = 12, probe_bits: int = 1,
+             seed: int = 42) -> DataFrame:
+    """ANN top-k: restrict to LSH buckets within ``probe_bits`` bit flips
+    of the query's bucket, then exact cosine rerank."""
+    probes = _probe_buckets(query_vec, dim, n_planes, probe_bits, seed)
     q = _query_lit(query_vec)
     bucket = hyperplane_bucket(vec_col, dim, n_planes, seed)
     return (df.withColumn("_bucket", bucket)
-            .where(F.col("_bucket").isin(*sorted(probes)))
+            .where(F.col("_bucket").isin(*probes))
             .select(F.col(id_col),
                     F.round(cosine_similarity(F.col(vec_col), q), 6)
                      .alias("cosine"))

@@ -240,3 +240,53 @@ def test_replay_with_json_rules(spark, tmp_path):
             {"title": d["title"], "tags": d["tags"], "quality": 0.5},
             separators=(",", ":"))
         assert r["meta"] == want
+
+
+def test_rebucket_mid_stream(spark, wal, tmp_path):
+    """Raise the bucket count between batches (VERDICT r1 item 5): the
+    rebucket snapshot must preserve tombstones and the committed batch
+    id, and subsequent merges must use the new bucket count; the final
+    state must still equal the order-independent oracle."""
+    lake_dir, cp_dir = str(tmp_path / "lake"), str(tmp_path / "cp")
+    pipe = CDCPipeline(spark, wal, lake_dir, cp_dir, num_buckets=4,
+                       chunks_per_batch=1)
+    pipe.run(max_batches=2)
+
+    lake = pipe.table()
+    batch_before = lake.committed_batch_id
+    snap = lake.rebucket(16)
+    m = lake.head()
+    assert m["snapshot_id"] == snap
+    assert m["num_buckets"] == 16
+    assert lake.committed_batch_id == batch_before
+    # no-op rebucket does not create a snapshot
+    assert lake.rebucket(16) == snap
+
+    # resume the replay; merges now write under 16 buckets
+    pipe2 = CDCPipeline(spark, wal, lake_dir, cp_dir, chunks_per_batch=1)
+    results = pipe2.run()
+    assert results and all(not r.skipped for r in results)
+    assert max(int(b) for b in lake.head()["buckets"]) >= 4
+
+    got = final_pairs(pipe2.table().read())
+    want = oracle_state(spark, wal)
+    assert got == sorted(zip(want["url"], want["text"]))
+
+
+def test_wal_read_scoped_to_requested_chunks(spark, wal):
+    """read_chunks must construct the scan from the requested chunk=N
+    directories only (VERDICT r1 item 4): the file index of the plan
+    lists no other chunk's files, so per-batch planning cost is
+    O(chunks in batch), not O(all chunks)."""
+    from embulk_filter_column_spark.cdc import WalReader
+
+    reader = WalReader(spark, wal)
+    got = reader.read_chunks(1, 3)
+    files = got.inputFiles()
+    assert files
+    assert all(("chunk=1" in f) or ("chunk=2" in f) for f in files), files
+    assert got.count() == 2 * CHUNK_ROWS
+    # empty range keeps the schema, reads nothing
+    empty = reader.read_chunks(99, 100)
+    assert empty.count() == 0
+    assert empty.columns == got.columns

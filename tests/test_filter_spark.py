@@ -260,3 +260,49 @@ def test_binary_passthrough(spark):
     got = out.collect()
     assert out.columns == ["page", "url"]
     assert bytes(got[0]["page"]) == b"<html/>"
+
+
+def test_example_edgecase_golden(spark):
+    r"""example/edgecase.yml over example/edgecase.tsv (the one example
+    config without a .txt golden in the reference repo — expectations
+    derived from the reference's parser semantics, which our ported
+    parser pins):
+
+    * doc key 1 (after JSON unescape):  phone']Num"]ber
+    * rule 2/3 path property (after path unescape): phone']Num"]ber — match
+    * doc key 3: foo\']"]foo  (literal backslash: JSON's \\ -> \)
+    * rule 4 property: foo']"]foo  (path's \' -> ' eats the backslash)
+      -> rule 4 matches NOTHING; the doc key is dropped, and the rule's
+      key appears with a nil value (reference JsonVisitor puts the
+      default — nil when unset — for a missing keep/copy source).
+    * NULL row takes the column default, then rules apply to it.
+    """
+    schema = T.StructType([
+        T.StructField("json", T.StringType(),
+                      metadata={JSON_META_KEY: "json"}),
+    ])
+    rows = [
+        ('{"phone\']Num\\"]ber":"foo","bar":"bar",'
+         '"foo\\\\\']\\"]foo":"baz"}',),
+        ('{"phone\']Num\\"]ber":"foo2","bar":"bar2",'
+         '"foo\\\\\']\\"]foo":"baz2"}',),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    phone_path = '$.json["phone\']Num\\"]ber"]'
+    out = apply_filter(df, {"columns": [
+        {"name": "json", "default": '{"phone\']Num\\"]ber":"FOO"}'},
+        {"name": phone_path},
+        {"name": "$.json.copy_foo", "src": phone_path},
+        {"name": '$.json[\'foo\\\']"]foo\']'},
+    ]})
+    import json as _json
+
+    got = [r["json"] for r in out.collect()]
+    key = "phone']Num\"]ber"
+    ghost = "foo']\"]foo"   # rule-4 key: never present in the data
+    assert [_json.loads(g) for g in got] == [
+        {key: "foo", "copy_foo": "foo", ghost: None},
+        {key: "foo2", "copy_foo": "foo2", ghost: None},
+        {key: "FOO", "copy_foo": "FOO", ghost: None},
+    ]

@@ -37,3 +37,41 @@ def test_streaming_drain_matches_oracle(spark, wal, tmp_path):
     snap = job.table().head()["snapshot_id"]
     job.run_available_now()
     assert job.table().head()["snapshot_id"] == snap
+
+
+def test_crash_after_commit_before_checkpoint(spark, wal, tmp_path):
+    """Failure injection (VERDICT r1 item 8): the worst-case window is
+    after the lake commit but before the streaming checkpoint advances.
+    On restart Spark replays that epoch; the lake must skip the already
+    committed batch id, and the drain must still converge to the oracle
+    with exactly one snapshot per unique batch."""
+    lake_dir, cp_dir = str(tmp_path / "lake"), str(tmp_path / "cp")
+    job = StreamingCDC(spark, wal, lake_dir, cp_dir, num_buckets=8,
+                       max_files_per_trigger=1)
+    orig_apply = job._apply
+    crashed = {}
+
+    def crash_after_commit(batch_df, epoch_id):
+        orig_apply(batch_df, epoch_id)  # lake commit happens here
+        if epoch_id >= 1 and not crashed:
+            crashed["epoch"] = epoch_id
+            raise RuntimeError("injected crash after lake commit")
+
+    job._apply = crash_after_commit
+    with pytest.raises(Exception, match="injected crash"):
+        job.run_available_now()
+    assert crashed
+    committed_at_crash = job.table().committed_batch_id
+    assert committed_at_crash == crashed["epoch"] + 1  # commit DID land
+
+    # restart: Spark replays the crashed epoch; the lake skips it
+    job2 = StreamingCDC(spark, wal, lake_dir, cp_dir, num_buckets=8,
+                        max_files_per_trigger=1)
+    job2.run_available_now()
+    got = sorted((r["url"], r["text"])
+                 for r in job2.table().read().collect())
+    assert got == oracle_pairs(spark, wal)
+    head = job2.table().head()
+    # one snapshot per unique batch id: the replayed epoch added none
+    assert head["snapshot_id"] == head["batch_id"]
+    assert head["batch_id"] > committed_at_crash
