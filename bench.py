@@ -60,7 +60,8 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def cdc_replay(spark, n_events: int, chunks_per_batch: int = 4,
-               n_chunks: int = 8, json_rules: bool = False) -> dict:
+               n_chunks: int = 8, json_rules: bool = False,
+               projection_only: bool = False) -> dict:
     """The north-star job: generate a deterministic web change-event WAL,
     replay it through projection → LWW dedup → bucketed MERGE, return
     events/sec of the replay (WAL write excluded — it's test setup).
@@ -104,6 +105,29 @@ def cdc_replay(spark, n_events: int, chunks_per_batch: int = 4,
                 {"name": "$.meta.quality", "type": "double",
                  "default": 0.5},
             ]
+        if projection_only:
+            # compute-bound probe: the column-rule projection (native
+            # exprs + Arrow json UDF) over the whole WAL, sunk to noop —
+            # no shuffle, no lake IO. Isolates the job's parallel
+            # structure from host memory-bandwidth ceilings that cap the
+            # full merge path on this sandbox (BASELINE.md §scaling).
+            from embulk_filter_column_spark.cdc.wal import WalReader
+            from embulk_filter_column_spark.config import FilterConfig
+            from embulk_filter_column_spark.plans.compiler import (
+                compile_filter,
+            )
+
+            reader = WalReader(spark, f"{base}/wal")
+            ev = reader.read_chunks(0, reader.end_offset)
+            compiled = compile_filter(FilterConfig.from_dict(cfg),
+                                      ev.schema)
+            t0 = time.monotonic()
+            (compiled.apply(ev).write.format("noop")
+             .mode("overwrite").save())
+            dt = time.monotonic() - t0
+            return {"sec": dt, "events": n_events,
+                    "events_per_sec": n_events / dt,
+                    "batches": 1, "batch_secs": [round(dt, 2)]}
         t0 = time.monotonic()
         pipe = CDCPipeline(
             spark, f"{base}/wal", f"{base}/lake", f"{base}/cp",
@@ -201,15 +225,20 @@ def run_bench() -> None:
 
 def run_worker(cores: int, n_events: int) -> None:
     json_rules = os.environ.get("SPARK_GRAFT_SCALING_JSON", "1") == "1"
+    projection = os.environ.get(
+        "SPARK_GRAFT_SCALING_MODE", "merge") == "projection"
     spark = _mk_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up replay (untimed): JIT, codegen cache, shuffle machinery,
     # Python worker pool — the scaling criterion measures the job's
     # parallel structure, not one-time JVM/process startup
     cdc_replay(spark, max(n_events // 16, 100_000), chunks_per_batch=8,
-               json_rules=json_rules)
-    replay = cdc_replay(spark, n_events, json_rules=json_rules)
-    print(json.dumps({"cores": cores, "json_rules": json_rules, **replay}))
+               json_rules=json_rules, projection_only=projection)
+    replay = cdc_replay(spark, n_events, json_rules=json_rules,
+                        projection_only=projection)
+    print(json.dumps({"cores": cores, "json_rules": json_rules,
+                      "mode": "projection" if projection else "merge",
+                      **replay}))
     spark.stop()
 
 
@@ -244,6 +273,7 @@ def run_scaling() -> None:
         "metric": f"cdc_scaling_efficiency_{lo}_to_{hi}",
         "value": round(eff, 3),
         "unit": "ratio",
+        "mode": results[lo].get("mode", "merge"),
         "n_events": n_events,
         "runs_per_level": n_runs,
         f"events_per_sec_local{lo}":

@@ -345,3 +345,16 @@ def test_timestamp_type_rejected_in_json_path():
     with pytest.raises(ConfigError, match="timestamp is not available"):
         tree(add_columns=[{"name": "$.json1.t", "type": "timestamp",
                            "default": "2015-07-13"}])
+
+
+def test_wildcard_tail_rejected_in_both_rule_families():
+    # TestJsonVisitor.java assertDoNotEndsWithArrayWildcard_{AddColumns,
+    # Columns}: a keep or add rule whose path ends with [*] is a config
+    # error in either rule family ("perhaps you can remove the [*]")
+    with pytest.raises(ConfigError, match="wrongly ends with"):
+        tree(columns=[{"name": "$.json1.b.b[*]"}])
+    with pytest.raises(ConfigError, match="wrongly ends with"):
+        tree(add_columns=[{"name": "$.json1.b.b[*]",
+                           "type": "json", "default": "[]"}])
+    # drop rules MAY end with [*] (drop-all-elements fallback)
+    tree(drop_columns=[{"name": "$.json1.b.b[*]"}])
