@@ -251,36 +251,75 @@ def simhash(df: DataFrame, text_col: str = "text",
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", max_hamming: int = 3,
                            seed: int = 42,
-                           max_bucket_size: int | None = None) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+                           max_bucket_size: int | None = None,
+                           strategy: str = "pigeonhole") -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``
+    (exact: blocking has total recall, then one native
+    ``bit_count(a XOR b)`` verification).
 
-    Blocking via the pigeonhole principle: split the 64-bit signature
-    into ``max_hamming + 1`` bands — any pair within the Hamming budget
-    agrees exactly on at least one band, so candidates are pairs sharing
-    (band_index, band_bits); verification is one native
-    ``bit_count(a XOR b)``. Shuffle key = band value: no cross product,
-    skew bounded by band-bucket size."""
-    n_bands = max_hamming + 1
-    width = 64 // n_bands
+    Two block strategies:
+
+    * ``pigeonhole`` (default): split the signature into
+      ``max_hamming + 1`` bands — some band matches exactly. H+1 keys
+      per doc; band width 64/(H+1) shrinks with the budget, so raw
+      candidate volume grows at wide budgets — but the strategy is
+      robust to CLUSTERED signature distributions (hot band values add
+      no extra keys).
+    * ``multiprobe`` (Manku et al., WWW'07 style): split into
+      ``B = H//2 + 1`` wide blocks; some block then carries ≤ 1 error,
+      so a pair collides on one block either exactly or at one bit flip.
+      Each doc indexes its exact block values and probes with all 1-bit
+      flips; flip↔flip matches are skipped (they admit Hamming-2 blocks
+      — pure false positives). ~64+B keys/doc, with 12-13-bit blocks
+      ~64× sparser than 7-bit bands — the right choice for real web text
+      whose signatures are near-uniform. On signature distributions with
+      heavy value clustering (e.g. tiny-vocabulary synthetic corpora)
+      the flip entries amplify hot buckets ~14×, so pigeonhole stays the
+      default.
+
+    Shuffle key = block value: no cross product, skew bounded by bucket
+    size (cap degenerate buckets with ``max_bucket_size``); Hamming
+    verification runs in the explode projection BEFORE the pair-dedup
+    shuffle."""
+    if strategy not in ("pigeonhole", "multiprobe"):
+        raise ValueError("strategy must be pigeonhole or multiprobe")
+    n_pigeon = max_hamming + 1
     sigs = simhash(df, text_col, seed=seed).select(id_col, "simhash")
+    multiprobe = strategy == "multiprobe"
+    n_blocks = (max_hamming // 2 + 1) if multiprobe else n_pigeon
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
 
-    def _band(b):
-        # unsigned slice of the signature: bits [b*width, (b+1)*width)
-        shifted = F.shiftrightunsigned(F.col("simhash"), b * width)
-        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+    def _block(b):
+        # unsigned slice of the signature: bits [off, off + width)
+        shifted = F.shiftrightunsigned(F.col("simhash"), offsets[b])
+        return shifted.bitwiseAND(F.lit((1 << widths[b]) - 1))
 
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band"), _band(b).alias("bits"))
-        for b in range(n_bands)])
-    item = F.struct(F.col(id_col).alias("id"), F.col("simhash"))
-    exploded = (sigs.select(item.alias("_item"),
-                            F.explode(bands).alias("bk"))
-                .select("_item", "bk.band", "bk.bits"))
-    # verify (native bit_count) BEFORE the distinct: short 7-bit bands
-    # collide heavily, so filtering in the explode projection shrinks the
-    # pair-dedup shuffle by ~99% versus distinct-then-filter
+    entries = []
+    for b in range(n_blocks):
+        v = _block(b)
+        entries.append(F.struct(F.lit(b).alias("band"), v.alias("bits"),
+                                F.lit(False).alias("probe")))
+        if multiprobe:
+            for bit in range(widths[b]):
+                entries.append(F.struct(
+                    F.lit(b).alias("band"),
+                    v.bitwiseXOR(F.lit(1 << bit)).alias("bits"),
+                    F.lit(True).alias("probe")))
+
+    item = F.struct(F.col(id_col).alias("id"), F.col("simhash"),
+                    F.col("bk.probe").alias("probe"))
+    exploded = (sigs.select(id_col, "simhash",
+                            F.explode(F.array(*entries)).alias("bk"))
+                .select(item.alias("_item"), "bk.band", "bk.bits"))
     pairs = _bucket_pairs(exploded, ["band", "bits"], "_item",
                           max_bucket_size, dedup=False)
+    if multiprobe:
+        # at least one side must be an exact (index) entry, and a doc's
+        # own exact/probe entries must not pair with each other
+        pairs = pairs.where(~(F.col("a.probe") & F.col("b.probe"))
+                            & (F.col("a.id") != F.col("b.id")))
     return (pairs
             .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
                     F.bit_count(F.col("a.simhash")

@@ -1,0 +1,148 @@
+"""Embulk-style file input: the `in: {type: file, parser: {type: csv}}`
+half of a reference pipeline, so a user's existing config
+(example/example.yml, example/edgecase.yml) runs end-to-end on Spark:
+
+    df = read_embulk_file(spark, "data.csv", parser_config)
+    out = apply_filter(df, filter_config)
+
+Supported parser options (reference: embulk-parser-csv used by every
+example/ config): ``columns`` (name/type/format), ``delimiter``,
+``quote``, ``escape``, ``null_string``, ``comment_line_marker``,
+``skip_header_lines`` (0 or 1 — Spark's csv reader skips one header per
+FILE; deeper skips would need a text pre-pass), ``charset``,
+``newline`` (informational — Spark auto-detects line endings).
+
+Type mapping: long→bigint, double, string, boolean, timestamp (parsed
+natively via to_timestamp with the column's Ruby-strftime format
+translated to a Java pattern), json→string column carrying the engine's
+json metadata marker (exactly what apply_filter expects).
+
+The read is a plain ``spark.read.csv`` — distributed, splittable,
+predicate/column pruning intact; nothing passes through Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import ConfigError
+from ..schema import JSON_META_KEY
+
+# Ruby strftime → Java DateTimeFormatter fragments (the subset that maps
+# 1:1; anything else falls back to the driver-side parse_strftime
+# semantics being unavailable per-row → ConfigError, so misconfiguration
+# fails loudly at plan time)
+_STRF_TO_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "I": "hh", "M": "mm", "S": "ss",
+    "L": "SSS", "N": "SSSSSSSSS",
+    "p": "a", "z": "XX", "Z": "zzz",
+    "b": "MMM", "B": "MMMM", "a": "EEE", "A": "EEEE",
+    "j": "DDD", "%": "%",
+}
+
+
+def strftime_to_java(fmt: str) -> str:
+    """Translate a Ruby-strftime format to a Java DateTimeFormatter
+    pattern (reference timestamp columns carry strftime formats)."""
+    out = []
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "%" and i + 1 < n:
+            d = fmt[i + 1]
+            if d in ("-", "0", "_", "^") and i + 2 < n:  # padding flags
+                i += 1
+                d = fmt[i + 1]
+            frag = _STRF_TO_JAVA.get(d)
+            if frag is None:
+                raise ConfigError(
+                    "timestamp format directive %%%s in %r has no native "
+                    "Spark pattern equivalent" % (d, fmt))
+            out.append(frag)
+            i += 2
+        elif ch in "'":
+            out.append("''")
+            i += 1
+        elif ch.isalpha():
+            out.append("'" + ch + "'")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+_CSV_TYPES = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def read_embulk_file(spark: SparkSession, path: str,
+                     parser: dict) -> DataFrame:
+    """Read a CSV/TSV file the way the reference's `file` input +
+    `csv` parser would, returning a DataFrame ready for apply_filter."""
+    if parser.get("type", "csv") != "csv":
+        raise ConfigError(
+            "only the csv parser is implemented (got %r)"
+            % parser.get("type"))
+    columns = parser.get("columns") or []
+    if not columns:
+        raise ConfigError("parser.columns must be specified")
+
+    skip = int(parser.get("skip_header_lines", 0))
+    if skip not in (0, 1):
+        raise ConfigError(
+            "skip_header_lines > 1 is not supported by the distributed "
+            "csv reader (got %d)" % skip)
+
+    delimiter = parser.get("delimiter", ",")
+    delimiter = {"\\t": "\t"}.get(delimiter, delimiter)
+
+    # read every non-json, non-timestamp column with its target type;
+    # json + timestamp come in as strings and are refined below
+    fields = []
+    for c in columns:
+        t = c.get("type", "string")
+        if t in ("json", "timestamp"):
+            dt = T.StringType()
+        elif t in _CSV_TYPES:
+            dt = _CSV_TYPES[t]
+        else:
+            raise ConfigError("unknown csv column type %r" % t)
+        fields.append(T.StructField(c["name"], dt))
+
+    reader = (spark.read
+              .schema(T.StructType(fields))
+              .option("header", str(skip == 1).lower())
+              .option("sep", delimiter)
+              .option("quote", parser.get("quote", '"'))
+              .option("escape", parser.get("escape", "\\"))
+              .option("mode", "PERMISSIVE"))
+    if parser.get("null_string") is not None:
+        reader = reader.option("nullValue", parser["null_string"])
+    if parser.get("comment_line_marker"):
+        reader = reader.option("comment", parser["comment_line_marker"][0])
+    if parser.get("charset"):
+        reader = reader.option("encoding", parser["charset"])
+    df = reader.csv(path)
+
+    # refine timestamp columns (native to_timestamp, strftime translated)
+    # and mark json columns with the engine's metadata marker
+    exprs = []
+    for c in columns:
+        name, t = c["name"], c.get("type", "string")
+        if t == "timestamp":
+            pattern = strftime_to_java(c.get("format", "%Y-%m-%d %H:%M:%S"))
+            exprs.append(F.to_timestamp(F.col(name), pattern).alias(name))
+        elif t == "json":
+            exprs.append(F.col(name).alias(
+                name, metadata={JSON_META_KEY: "json"}))
+        else:
+            exprs.append(F.col(name))
+    return df.select(*exprs)

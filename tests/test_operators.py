@@ -284,3 +284,17 @@ def test_bucketed_ann_prunes_partitions(spark, tmp_path):
     assert [(r["vec_id"], r["cosine"]) for r in rows] == \
         [(r["vec_id"], r["cosine"]) for r in want]
     assert rows[0]["vec_id"] == 7 and rows[0]["cosine"] == 1.0
+
+
+def test_simhash_multiprobe_equals_pigeonhole(spark, docs):
+    """Both blocking strategies are exact (total recall + verification),
+    so they must produce identical pair sets."""
+    from embulk_filter_column_spark.operators import simhash_near_dup_pairs
+
+    pigeon = {(r["a"], r["b"]): r["hamming"]
+              for r in simhash_near_dup_pairs(
+                  docs, max_hamming=8, strategy="pigeonhole").collect()}
+    probe = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_near_dup_pairs(
+                 docs, max_hamming=8, strategy="multiprobe").collect()}
+    assert pigeon == probe and pigeon
