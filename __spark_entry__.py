@@ -58,7 +58,9 @@ from embulk_filter_column_spark.operators.multimodal import (
 )
 from embulk_filter_column_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
+    train_ivf_centroids,
 )
 from embulk_filter_column_spark.operators.textquality import annotate_text
 from embulk_filter_column_spark.sources.events import write_wal
@@ -511,6 +513,13 @@ def q_similarity_lsh(spark, sf_dir):
     those 9 planted ids — enumerable in SQL. A bucketing or rerank bug
     drops planted rows or promotes organic ones (all cosine < 1)."""
     _utc(spark)
+    return lsh_topk(_embeddings_with_parallel_plants(spark, sf_dir),
+                    _query_vec(spark, sf_dir), k=10)
+
+
+def _embeddings_with_parallel_plants(spark, sf_dir):
+    """embeddings ∪ 9 positively-scaled copies of vector 0 — same
+    direction ⇒ same LSH bucket / same IVF cell, cosine exactly 1.0."""
     e = (_load(spark, sf_dir, "embeddings")
          .select("vec_id",
                  F.col("embedding").cast("array<double>").alias("embedding")))
@@ -520,8 +529,34 @@ def q_similarity_lsh(spark, sf_dir):
                .select((F.col("i") + 2000000).alias("vec_id"),
                        F.transform("embedding", lambda x: x * 1.001)
                         .alias("embedding")))
-    return lsh_topk(e.unionByName(planted), _query_vec(spark, sf_dir),
-                    k=10)
+    return e.unionByName(planted)
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF ANN with planted neighbors: centroids k-means-trained on a
+    deterministic sample, cells assigned by Arrow-batch matmul, search
+    probes the query's nearest cells. The 9 planted parallel copies of
+    the query vector share its cell, so the top-10 is enumerable in SQL
+    (same construction as similarity_lsh)."""
+    _utc(spark)
+    eu = _embeddings_with_parallel_plants(spark, sf_dir)
+    centroids = train_ivf_centroids(eu, n_centroids=16)
+    return ivf_topk(eu, _query_vec(spark, sf_dir), centroids, k=10,
+                    nprobe=2)
+
+
+def q_cdc_sessionize(spark, sf_dir):
+    """Per-user event-time sessionization (gap = 1h) over the events
+    table — the batch twin of the applyInPandasWithState streaming
+    operator (same fold; streaming state behavior pinned by pytest)."""
+    from embulk_filter_column_spark.streaming.stateful import (
+        sessionize_batch,
+    )
+
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize_batch(ev, key="user_id", ts_col="ts",
+                            gap_seconds=3600.0)
 
 
 def q_text_token_counts(spark, sf_dir):
@@ -578,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_streaming_replay": q_cdc_streaming_replay,
         "wal_offset_read": q_wal_offset_read,
+        "cdc_sessionize": q_cdc_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
@@ -586,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
         "text_token_counts": q_text_token_counts,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -680,6 +717,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type FROM events
             WHERE event_id >= 2000 AND event_id < 5000
         """,
+        "cdc_sessionize": """
+            WITH t AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS us
+                FROM events),
+            d AS (
+                SELECT key, us,
+                       CASE WHEN us - lag(us) OVER (
+                                PARTITION BY key ORDER BY us)
+                                 > CAST(3600 AS BIGINT) * 1000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM t),
+            s AS (
+                SELECT key, us,
+                       sum(brk) OVER (PARTITION BY key ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d)
+            SELECT key, min(us) AS session_start_us,
+                   max(us) AS session_end_us, count(*) AS n_events
+            FROM s GROUP BY key, sid
+        """,
         "dedup_exact": f"""
             WITH all_docs AS ({_DOCS_DUPS_SQL})
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
@@ -697,6 +754,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 10 = 0
         """,
         "similarity_lsh": """
+            SELECT CAST(0 AS BIGINT) AS vec_id, 1.0 AS cosine
+            UNION ALL
+            SELECT CAST(2000000 + i AS BIGINT), 1.0 FROM range(1, 10) t(i)
+        """,
+        "similarity_ivf": """
             SELECT CAST(0 AS BIGINT) AS vec_id, 1.0 AS cosine
             UNION ALL
             SELECT CAST(2000000 + i AS BIGINT), 1.0 FROM range(1, 10) t(i)

@@ -162,6 +162,7 @@ BENCH_QUERIES = (
     "dedup_embedding",
     "similarity_bruteforce",
     "similarity_lsh",
+    "similarity_ivf",
     "text_token_counts",
     "text_quality",
     "text_lang_id",

@@ -8,5 +8,13 @@ from .dedup import (  # noqa: F401
     simhash_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from .similarity import brute_force_topk, lsh_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+    lsh_topk_bucketed,
+    train_ivf_centroids,
+    write_bucketed_embeddings,
+)
 from .textquality import annotate_text  # noqa: F401

@@ -10,6 +10,11 @@
   the table is written ``partitionBy("bucket")`` on the LSH key, so a
   probe query's ``bucket IN (...)`` filter is a partition-directory
   prune — the scan reads only the probed buckets' files, not the table.
+* IVF (train_ivf_centroids / ivf_assign / ivf_topk) — the
+  inverted-file alternative to hyperplane LSH: k-means centroids trained
+  on a deterministic sample (driver numpy, the same train-on-sample
+  recipe Faiss uses), cells assigned with one Arrow-batch matmul, probe
+  queries scan only the ``nprobe`` nearest cells.
 """
 
 from __future__ import annotations
@@ -109,6 +114,91 @@ def lsh_topk(df: DataFrame, query_vec, k: int = 10,
             .where(F.col("_bucket").isin(*probes))
             .select(F.col(id_col),
                     F.round(cosine_similarity(F.col(vec_col), q), 6)
+                     .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file) ANN
+
+
+def train_ivf_centroids(df: DataFrame, n_centroids: int = 16,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        sample: int = 10_000, iters: int = 5,
+                        seed: int = 42):
+    """K-means centroids over a deterministic sample (lowest ids), unit-
+    normalized so nearest-centroid-by-dot == nearest-by-cosine. Training
+    runs driver-side on the bounded sample (the standard IVF recipe —
+    Faiss trains on samples too); assignment and search stay distributed.
+    Returns an (n_centroids, dim) numpy array of unit vectors."""
+    import numpy as np
+
+    rows = (df.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample).collect())
+    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)),
+                               replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.linalg.norm(centroids, axis=1,
+                                               keepdims=True)
+    return centroids
+
+
+def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding"):
+    """Append ``cell`` — the nearest centroid id (max cosine). One numpy
+    matmul per Arrow batch; null/ragged vectors get a NULL cell."""
+    import numpy as np
+    import pandas as pd
+
+    cts = np.asarray(centroids, dtype=np.float64)
+    dim = cts.shape[1]
+
+    def _cell(s):
+        if len(s) == 0:
+            return pd.Series([], dtype="Int64")
+        valid = s.map(lambda v: v is not None and len(v) == dim)
+        out = pd.Series([pd.NA] * len(s), index=s.index, dtype="Int64")
+        if valid.any():
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in s[valid]])
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            out[valid] = (mat @ cts.T).argmax(axis=1)
+        return out
+
+    return df.withColumn("cell", F.pandas_udf(_cell, "long")(_c_vec(vec_col)))
+
+
+def _c_vec(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+def ivf_topk(df: DataFrame, query_vec, centroids, k: int = 10,
+             nprobe: int = 2, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF search: restrict to the ``nprobe`` cells nearest the query,
+    exact cosine rerank inside them. At 10^10 rows, write the assigned
+    table ``partitionBy("cell")`` and the ``cell IN (...)`` filter is a
+    partition prune (same layout trick as lsh_topk_bucketed)."""
+    import numpy as np
+
+    cts = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    probes = [int(i) for i in (cts @ q).argsort()[::-1][:nprobe]]
+    ql = _query_lit(query_vec)
+    return (ivf_assign(df, cts, vec_col)
+            .where(F.col("cell").isin(probes))
+            .select(F.col(id_col),
+                    F.round(cosine_similarity(F.col(vec_col), ql), 6)
                      .alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))

@@ -1,0 +1,126 @@
+"""Custom stateful streaming operator: per-key event-time sessionization
+over the CDC stream (``applyInPandasWithState``).
+
+Groups a key's events into sessions separated by an event-time gap >
+``gap``; a closed session is emitted as one row (key, start, end,
+n_events). The open tail session lives in keyed state across
+micro-batches — the canonical "built-in operators can't express it"
+case (SURVEY.md §2.3: custom stateful operator seam): Spark's built-in
+``session_window`` aggregate covers windowed counts, but arbitrary
+per-session payloads/logic (here: first/last/count fold, extendable to
+e.g. per-session content hashes) need user state.
+
+State bounds at 10^10 events: one open-session row per ACTIVE key;
+production runs set an event-time watermark + ``EventTimeTimeout`` so
+idle keys' state is evicted and their tail session flushes. The sandbox
+tests drain with availableNow and NoTimeout (deterministic), asserting
+the closed-session stream against a batch pandas oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("session_start_us", T.LongType()),
+    T.StructField("session_end_us", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def _session_fn(gap_us: int):
+    import pandas as pd
+
+    def fn(key, pdf_iter, state: GroupState):
+        closed = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = n = None
+        for pdf in pdf_iter:
+            for ts in sorted(int(t) for t in pdf["ts_us"]):
+                if start is None:
+                    start, last, n = ts, ts, 1
+                elif ts - last > gap_us:
+                    closed.append((key[0], start, last, n))
+                    start, last, n = ts, ts, 1
+                else:
+                    last = max(last, ts)
+                    n += 1
+        if start is not None:
+            state.update((start, last, n))
+        yield pd.DataFrame(
+            closed, columns=["key", "session_start_us",
+                             "session_end_us", "n_events"])
+
+    return fn
+
+
+def sessionize_batch(events: DataFrame, key: str = "url",
+                     ts_col: str = "warc_ts", gap_seconds: float = 3600.0
+                     ) -> DataFrame:
+    """Batch twin of ``sessionize`` (same fold, ``applyInPandas``): all
+    sessions are emitted, including each key's open tail — a bounded
+    input has no notion of 'still open'. SQL-expressible (lag/sum window
+    + group), so it carries the family's DuckDB oracle; the streaming
+    variant shares the session semantics and is pinned by the
+    cross-micro-batch pytest."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def fn(pdf):
+        out = []
+        for k, grp in pdf.groupby("key"):
+            start = last = n = None
+            for ts in sorted(int(t) for t in grp["ts_us"]):
+                if start is None:
+                    start, last, n = ts, ts, 1
+                elif ts - last > gap_us:
+                    out.append((k, start, last, n))
+                    start, last, n = ts, ts, 1
+                else:
+                    last, n = max(last, ts), n + 1
+            if start is not None:
+                out.append((k, start, last, n))
+        return pd.DataFrame(
+            out, columns=["key", "session_start_us", "session_end_us",
+                          "n_events"])
+
+    prepared = events.select(
+        F.col(key).cast("string").alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"))
+    return prepared.groupBy("key").applyInPandas(fn, SESSION_SCHEMA)
+
+
+def sessionize(events: DataFrame, key: str = "url",
+               ts_col: str = "warc_ts", gap_seconds: float = 3600.0
+               ) -> DataFrame:
+    """Closed sessions per key (streaming or batch DataFrame). Events
+    within ``gap_seconds`` of the previous event (event time) extend the
+    session; a larger gap closes it. The open tail session is retained
+    in state (streaming) / not emitted (batch)."""
+    from pyspark.sql import functions as F
+
+    gap_us = int(gap_seconds * 1_000_000)
+    prepared = events.select(
+        F.col(key).cast("string").alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"))
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(
+                _session_fn(gap_us),
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

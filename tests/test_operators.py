@@ -298,3 +298,38 @@ def test_simhash_multiprobe_equals_pigeonhole(spark, docs):
              for r in simhash_near_dup_pairs(
                  docs, max_hamming=8, strategy="multiprobe").collect()}
     assert pigeon == probe and pigeon
+
+
+def test_ivf_topk_recall_planted_cluster(spark):
+    """IVF contract: centroids trained on a deterministic sample, probe
+    search recovers genuinely-near neighbors."""
+    import numpy as np
+    from embulk_filter_column_spark.operators import (
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    base = rng.normal(size=(60, dim))
+    q = rng.normal(size=dim)
+    planted = q + rng.normal(scale=0.05, size=(10, dim))
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(np.vstack([base, planted]))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cts = train_ivf_centroids(df, n_centroids=8, iters=5)
+    assert cts.shape == (8, dim)
+
+    got = {r["vec_id"]
+           for r in ivf_topk(df, [float(x) for x in q], cts, k=10,
+                             nprobe=3).collect()}
+    assert len(got & set(range(60, 70))) >= 8  # ≥80% recall
+
+    # assignment is total and null-safe
+    assigned = ivf_assign(df, cts)
+    assert assigned.where(F.col("cell").isNull()).count() == 0
+    ragged = spark.createDataFrame([(1, None), (2, [1.0, 2.0])],
+                                   ["vec_id", "embedding"])
+    bad = ivf_assign(ragged, cts)
+    assert bad.where(F.col("cell").isNotNull()).count() == 0

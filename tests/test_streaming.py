@@ -75,3 +75,67 @@ def test_crash_after_commit_before_checkpoint(spark, wal, tmp_path):
     # one snapshot per unique batch id: the replayed epoch added none
     assert head["snapshot_id"] == head["batch_id"]
     assert head["batch_id"] > committed_at_crash
+
+
+def test_stateful_sessionize_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState sessionization: the open session must
+    survive micro-batch boundaries in keyed state, closed sessions must
+    match a batch pandas oracle computed over the whole WAL."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from embulk_filter_column_spark.streaming.stateful import sessionize
+
+    # deterministic event stream: 3 urls, controlled gaps (gap=100s)
+    rows = []
+    for u, times in {
+        "u1": [0, 50, 120, 500, 510],      # sessions [0..120], [500..510]
+        "u2": [10, 400, 420, 900],          # [10], [400..420], [900 open]
+        "u3": [5],                          # [5 open]
+    }.items():
+        rows += [(u, t) for t in times]
+    df = spark.createDataFrame(rows, ["url", "sec"]).select(
+        "url", F.timestamp_seconds("sec").alias("warc_ts"),
+        F.col("sec").cast("long").alias("seq"),
+        F.lit("I").alias("op"), F.lit("x").alias("text"),
+        F.lit("en").alias("lang"), F.lit(b"").alias("html"))
+    wal = str(tmp_path / "wal")
+    from embulk_filter_column_spark.sources import write_wal
+    write_wal(df.orderBy("seq"), wal, chunk_rows=4)
+
+    static = spark.read.parquet(wal)
+    stream = (spark.readStream.schema(static.schema)
+              .option("basePath", wal)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(wal + "/chunk=*").drop("chunk"))
+    out = sessionize(stream, key="url", ts_col="warc_ts",
+                     gap_seconds=100.0)
+    q = (out.writeStream.format("memory").queryName("sessions")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["key"], r["session_start_us"] // 1_000_000,
+            r["session_end_us"] // 1_000_000, r["n_events"])
+           for r in spark.table("sessions").collect()}
+
+    # batch pandas oracle: same sessionization, open tails dropped
+    pdf = static.select("url", F.unix_micros(
+        F.col("warc_ts").cast("timestamp")).alias("us")).toPandas()
+    want = set()
+    for u, grp in pdf.groupby("url"):
+        ts = sorted(grp["us"] // 1_000_000)
+        start, last, n = None, None, 0
+        sessions = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > 100:
+                sessions.append((u, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        want.update(sessions)  # open tail NOT emitted
+    assert got == want, (got, want)
+    # the open tails exist and were not emitted
+    assert ("u3", 5, 5, 1) not in got
