@@ -47,10 +47,19 @@ class CDCPipeline:
         num_buckets: int = 64,
         chunks_per_batch: int = 1,
         n_salts: int | None = None,
+        sink=None,
+        journal_path: str | None = None,
     ):
+        """``sink``: any object satisfying cdc.sink.Sink (plus
+        ``exists()``/``create(schema)``/``schema()``) replaces the
+        default manifest LakeTable — e.g. cdc.sink.IcebergSink on a
+        cluster with the runtime jar. ``journal_path`` overrides where
+        lineage/metrics parquet rows land (defaults to the lake path;
+        required notion when the sink is a catalog table name)."""
         self.spark = spark
         self.reader = WalReader(spark, wal_path)
         self.lake_path = lake_path
+        self.sink = sink
         self.checkpoint = Checkpoint.load(checkpoint_path)
         self.key = key
         self.order = tuple(order)
@@ -65,7 +74,7 @@ class CDCPipeline:
                  config_schedule.items()))
         else:
             self.schedule = [(0, self._coerce(filter_config or {}))]
-        self.journal = BatchJournal(spark, lake_path)
+        self.journal = BatchJournal(spark, journal_path or lake_path)
 
     @staticmethod
     def _coerce(cfg) -> FilterConfig:
@@ -106,11 +115,22 @@ class CDCPipeline:
         return T.StructType(
             [f for f in output_schema.fields if f.name != "op"])
 
-    def _ensure_lake(self, output_schema) -> LakeTable:
+    def _ensure_lake(self, output_schema):
+        desired = self._table_schema(output_schema)
+        if self.sink is not None:
+            if not self.sink.exists():
+                self.sink.create(desired)
+                return self.sink
+            current = self.sink.schema()
+            if [f.name for f in current.fields] != \
+                    [f.name for f in desired.fields]:
+                cfg = self._config_for_chunk(self.checkpoint.next_chunk)
+                plan = plan_evolution(current, desired, cfg)
+                self.sink.evolve(plan.new_schema, plan.renames)
+            return self.sink
         if LakeTable.exists(self.spark, self.lake_path):
             lake = LakeTable(self.spark, self.lake_path)
             current = lake.schema()
-            desired = self._table_schema(output_schema)
             if [f.name for f in current.fields] != \
                     [f.name for f in desired.fields]:
                 cfg = self._config_for_chunk(self.checkpoint.next_chunk)
@@ -118,7 +138,7 @@ class CDCPipeline:
                 lake.evolve(plan.new_schema, plan.renames)
             return lake
         return LakeTable.create(
-            self.spark, self.lake_path, self._table_schema(output_schema),
+            self.spark, self.lake_path, desired,
             key=self.key, order=self.order, num_buckets=self.num_buckets)
 
     def run(self, max_batches: int | None = None) -> list:
@@ -146,5 +166,9 @@ class CDCPipeline:
             results.append(result)
         return results
 
-    def table(self) -> LakeTable:
+    def table(self):
+        """The merge target: the custom sink when one was injected,
+        otherwise the manifest LakeTable at lake_path."""
+        if self.sink is not None:
+            return self.sink
         return LakeTable(self.spark, self.lake_path)

@@ -197,9 +197,15 @@ class IcebergSink:
 
     # -- contract ------------------------------------------------------------
 
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
     def create(self, schema: T.StructType) -> None:
         self.spark.sql(create_table_sql(
             self.table, schema, self.key, self.num_buckets))
+
+    def schema(self) -> T.StructType:
+        return self.spark.table(self.table).schema
 
     @property
     def committed_batch_id(self) -> int:

@@ -37,10 +37,19 @@ _STATE_SCHEMA = T.StructType([
 ])
 
 
-def _session_fn(gap_us: int):
+def _session_fn(gap_us: int, event_time_timeout: bool):
     import pandas as pd
 
+    cols = ["key", "session_start_us", "session_end_us", "n_events"]
+
     def fn(key, pdf_iter, state: GroupState):
+        if event_time_timeout and state.hasTimedOut:
+            # watermark passed last+gap: the open tail can never extend —
+            # flush it and evict the key's state (bounded state at scale)
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(key[0], start, last, n)], columns=cols)
+            return
         closed = []
         if state.exists:
             start, last, n = state.get
@@ -58,9 +67,9 @@ def _session_fn(gap_us: int):
                     n += 1
         if start is not None:
             state.update((start, last, n))
-        yield pd.DataFrame(
-            closed, columns=["key", "session_start_us",
-                             "session_end_us", "n_events"])
+            if event_time_timeout:
+                state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
+        yield pd.DataFrame(closed, columns=cols)
 
     return fn
 
@@ -105,22 +114,37 @@ def sessionize_batch(events: DataFrame, key: str = "url",
 
 
 def sessionize(events: DataFrame, key: str = "url",
-               ts_col: str = "warc_ts", gap_seconds: float = 3600.0
-               ) -> DataFrame:
-    """Closed sessions per key (streaming or batch DataFrame). Events
-    within ``gap_seconds`` of the previous event (event time) extend the
-    session; a larger gap closes it. The open tail session is retained
-    in state (streaming) / not emitted (batch)."""
+               ts_col: str = "warc_ts", gap_seconds: float = 3600.0,
+               watermark_delay: str | None = None) -> DataFrame:
+    """Closed sessions per key over a streaming DataFrame. Events within
+    ``gap_seconds`` of the previous event (event time) extend the
+    session; a larger gap closes it.
+
+    Without a watermark, the open tail session is retained in state
+    forever (fine for bounded replays). With ``watermark_delay`` (e.g.
+    ``"1 hour"``), the input carries ``withWatermark`` and keyed state
+    uses EventTimeTimeout: once the watermark passes a tail session's
+    last event + gap, the tail is FLUSHED as a closed session and the
+    key's state is evicted — state size is then bounded by the number of
+    keys active inside the watermark horizon, the production
+    configuration at 10^10 events."""
     from pyspark.sql import functions as F
 
     gap_us = int(gap_seconds * 1_000_000)
-    prepared = events.select(
+    with_ts = events.withColumn("_event_ts",
+                                F.col(ts_col).cast("timestamp"))
+    if watermark_delay is not None:
+        with_ts = with_ts.withWatermark("_event_ts", watermark_delay)
+    prepared = with_ts.select(
         F.col(key).cast("string").alias("key"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"))
+        F.unix_micros(F.col("_event_ts")).alias("ts_us"),
+        "_event_ts")
+    timeout = GroupStateTimeout.EventTimeTimeout \
+        if watermark_delay is not None else GroupStateTimeout.NoTimeout
     return (prepared.groupBy("key")
             .applyInPandasWithState(
-                _session_fn(gap_us),
+                _session_fn(gap_us, watermark_delay is not None),
                 outputStructType=SESSION_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout))

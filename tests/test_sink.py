@@ -99,3 +99,119 @@ def test_set_batch_id_sql():
 def test_iceberg_sink_requires_catalog(spark):
     with pytest.raises(EngineError, match="Iceberg catalog"):
         IcebergSink(spark, "cat.db.pages")
+
+
+class InMemorySink:
+    """Minimal Sink implementation (pandas-backed) proving the pipeline's
+    sink seam: CDCPipeline drives create/evolve/merge/committed_batch_id
+    through the injected object only — the same calls IcebergSink maps
+    to catalog SQL."""
+
+    def __init__(self, spark, key="url", order=("warc_ts", "seq")):
+        self.spark = spark
+        self.key = key
+        self.order = list(order)
+        self._schema = None
+        self._rows = {}          # key -> row dict (live, post-LWW)
+        self._batch_id = 0
+        self.merges = 0
+
+    def exists(self):
+        return self._schema is not None
+
+    def create(self, schema):
+        self._schema = schema
+
+    def schema(self):
+        return self._schema
+
+    @property
+    def committed_batch_id(self):
+        return self._batch_id
+
+    def evolve(self, new_schema, renames=None):
+        for old, new in (renames or {}).items():
+            for row in self._rows.values():
+                if old in row:
+                    row[new] = row.pop(old)
+        names = [f.name for f in new_schema.fields]
+        for row in self._rows.values():
+            for n in names:
+                row.setdefault(n, None)
+            for k in list(row):
+                if k not in names and k != "_op":
+                    del row[k]
+        self._schema = new_schema
+        return 0
+
+    def merge(self, batch, batch_id, op_col="op", n_salts=None):
+        from embulk_filter_column_spark.cdc.lake import MergeResult
+
+        if batch_id <= self._batch_id:
+            return MergeResult(batch_id, -1, skipped=True)
+        self.merges += 1
+        rows = [r.asDict() for r in batch.collect()]
+        for r in rows:
+            r["_op"] = r.pop(op_col)
+        names = [f.name for f in self._schema.fields]
+        for r in rows:
+            for n in names:
+                r.setdefault(n, None)
+        # order-insensitive LWW: a row only wins if its order tuple
+        # beats the incumbent's (same semantics as the lake MERGE —
+        # batches are not time-ordered)
+        for r in rows:
+            cur = self._rows.get(r[self.key])
+            okey = tuple(r[c] for c in self.order)
+            if cur is None or okey > tuple(cur[c] for c in self.order):
+                self._rows[r[self.key]] = r
+        self._batch_id = batch_id
+        return MergeResult(batch_id, -1, skipped=False,
+                           rows_in=len(rows))
+
+    def read(self, include_tombstones=False):
+        names = [f.name for f in self._schema.fields]
+        live = [tuple(r[n] for n in names) for r in self._rows.values()
+                if include_tombstones or r["_op"] != "D"]
+        return self.spark.createDataFrame(live, self._schema)
+
+
+def test_pipeline_drives_custom_sink(spark, tmp_path):
+    """CDCPipeline with an injected Sink: create on first batch, merges
+    by batch id, resume skips committed batches, final state matches the
+    LakeTable run on the same WAL."""
+    from embulk_filter_column_spark.cdc import CDCPipeline
+    from embulk_filter_column_spark.sources import (
+        web_change_events,
+        write_wal,
+    )
+
+    wal = str(tmp_path / "wal")
+    ev = web_change_events(spark, 1500, n_domains=10, pages_per_domain=10,
+                           seed=3)
+    write_wal(ev, wal, chunk_rows=500)
+
+    sink = InMemorySink(spark)
+    pipe = CDCPipeline(spark, wal, str(tmp_path / "ignored"),
+                       str(tmp_path / "cp"), chunks_per_batch=1,
+                       sink=sink, journal_path=str(tmp_path / "journal"))
+    results = pipe.run()
+    assert len(results) == 3 and sink.merges == 3
+    assert pipe.table() is sink
+    assert pipe.journal.lineage().count() == 3
+
+    # resume: nothing new, no extra merges
+    pipe2 = CDCPipeline(spark, wal, str(tmp_path / "ignored"),
+                        str(tmp_path / "cp"), chunks_per_batch=1,
+                        sink=sink, journal_path=str(tmp_path / "journal"))
+    assert pipe2.run() == [] and sink.merges == 3
+
+    # reference run through the default LakeTable
+    ref = CDCPipeline(spark, wal, str(tmp_path / "lake"),
+                      str(tmp_path / "cp2"), chunks_per_batch=1)
+    ref.run()
+    want = sorted((r["url"], r["seq"], r["text"])
+                  for r in ref.table().read().collect())
+    got = sorted((r["url"], r["seq"], r["text"])
+                 for r in sink.read().collect())
+    assert got == want

@@ -139,3 +139,52 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
     assert got == want, (got, want)
     # the open tails exist and were not emitted
     assert ("u3", 5, 5, 1) not in got
+
+
+def test_sessionize_event_time_timeout_flushes_tails(spark, tmp_path):
+    """With a watermark + EventTimeTimeout, a tail session whose
+    (last event + gap) falls behind the advancing watermark is flushed
+    as closed and its key's state evicted — bounded state."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from embulk_filter_column_spark.streaming.stateful import sessionize
+    from embulk_filter_column_spark.sources import write_wal
+
+    # u1 is active only early; u2 keeps the watermark advancing far past
+    # u1's last event + gap, so u1's tail must flush on timeout.
+    # base offset keeps event times away from epoch 0 (the initial
+    # watermark value — rows at ts <= the initial watermark are dropped)
+    B = 1_000_000
+    rows = [("u1", B + 0), ("u1", B + 50),
+            ("u2", B + 10), ("u2", B + 5000), ("u2", B + 9000),
+            ("u2", B + 20000)]
+    df = spark.createDataFrame(rows, ["url", "sec"]).select(
+        "url", F.timestamp_seconds("sec").alias("warc_ts"),
+        F.col("sec").cast("long").alias("seq"),
+        F.lit("I").alias("op"), F.lit("x").alias("text"),
+        F.lit("en").alias("lang"), F.lit(b"").alias("html"))
+    wal = str(tmp_path / "wal")
+    write_wal(df.orderBy("seq"), wal, chunk_rows=2)
+
+    static = spark.read.parquet(wal)
+    stream = (spark.readStream.schema(static.schema)
+              .option("basePath", wal)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(wal + "/chunk=*").drop("chunk"))
+    out = sessionize(stream, key="url", ts_col="warc_ts",
+                     gap_seconds=100.0, watermark_delay="200 seconds")
+    q = (out.writeStream.format("memory").queryName("sessions_wm")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["key"], r["session_start_us"] // 1_000_000,
+            r["session_end_us"] // 1_000_000, r["n_events"])
+           for r in spark.table("sessions_wm").collect()}
+    # u1's tail [0..50] flushed by EventTimeTimeout once u2 pushed the
+    # watermark past 150s; u2's early sessions closed by gap; u2's final
+    # tail (20000) has no later watermark -> retained in state, unemitted
+    assert got == {("u1", B + 0, B + 50, 2), ("u2", B + 10, B + 10, 1),
+                   ("u2", B + 5000, B + 5000, 1),
+                   ("u2", B + 9000, B + 9000, 1)}, got
