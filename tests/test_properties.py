@@ -1,0 +1,162 @@
+"""Property-based tests (hypothesis): parser round-trips and semantic
+invariants that golden tables can't sweep exhaustively.
+
+Spark-touching properties keep max_examples small (each example is a
+Spark job); the parser property is pure Python and runs wide.
+"""
+
+import json
+import string
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from embulk_filter_column_spark.jsonpath import (
+    Prop,
+    compile_path,
+    escape_property,
+)
+
+# property names: printable incl. the parser's special characters
+_name_alphabet = string.ascii_letters + string.digits + " .'\"[]\\$_-"
+prop_names = st.text(alphabet=_name_alphabet, min_size=1, max_size=12)
+indexes = st.integers(min_value=0, max_value=9)
+
+
+@st.composite
+def token_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=5))
+    toks = []
+    for _ in range(n):
+        if draw(st.booleans()):
+            toks.append(draw(prop_names))
+        else:
+            toks.append(draw(indexes))
+    # first token must be a property (an index right after $ is the
+    # reference's unsupported RootPathToken-index case)
+    if not isinstance(toks[0], str):
+        toks[0] = draw(prop_names)
+    return toks
+
+
+def canonical(tokens) -> str:
+    out = ["$"]
+    for t in tokens:
+        if isinstance(t, str):
+            out.append("['" + escape_property(t) + "']")
+        else:
+            out.append("[%d]" % t)
+    return "".join(out)
+
+
+@settings(max_examples=300, deadline=None)
+@given(token_lists())
+def test_prop_jsonpath_canonical_roundtrip(tokens):
+    """compile(canonical(tokens)) recovers exactly the same tokens —
+    escape_property and the quoted-property parser are inverses for any
+    name, including quotes/brackets/backslashes/dots."""
+    path = canonical(tokens)
+    compiled = compile_path(path)
+    got = []
+    for tok in compiled.tokens:
+        got.append(tok.name if isinstance(tok, Prop) else tok.index)
+    assert got == tokens, (path, got)
+    # canonicalization is idempotent
+    assert canonical(got) == path
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet=string.ascii_lowercase + " .,!?'",
+                        min_size=1, max_size=60),
+                min_size=1, max_size=4))
+def test_prop_normalization_invariance(spark, texts):
+    """fingerprint / shingles / simhash are invariant under case and
+    punctuation jitter (the dedup family's core contract)."""
+    from pyspark.sql import functions as F
+
+    from embulk_filter_column_spark.functions.text import (
+        doc_fingerprint,
+        word_ngrams,
+    )
+    from embulk_filter_column_spark.operators.dedup import simhash
+
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, t.upper() + " !!"))  # jittered twin
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = simhash(df).select(
+        "doc_id", "simhash",
+        doc_fingerprint("text").alias("fp"),
+        F.array_sort(word_ngrams("text", 3)).alias("sh")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for i in range(len(texts)):
+        a, b = by_id[2 * i], by_id[2 * i + 1]
+        assert a["fp"] == b["fp"]
+        assert a["sh"] == b["sh"]
+        assert a["simhash"] == b["simhash"]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_prop_scalar_filter_vs_python_model(spark, data):
+    """Random keep/drop/add configs over a random table == a pure-Python
+    row model of the reference semantics (keep with default-on-null,
+    src copy, add with typed default)."""
+    from embulk_filter_column_spark import apply_filter
+
+    cols = ["c%d" % i for i in range(data.draw(
+        st.integers(min_value=2, max_value=4)))]
+    n_rows = data.draw(st.integers(min_value=1, max_value=5))
+    rows = []
+    for _ in range(n_rows):
+        rows.append(tuple(
+            data.draw(st.one_of(st.none(),
+                                st.integers(-1000, 1000))) for _ in cols))
+    df = spark.createDataFrame(rows, "%s" % ", ".join(
+        "%s long" % c for c in cols))
+
+    mode = data.draw(st.sampled_from(["keep", "drop"]))
+    if mode == "keep":
+        kept = data.draw(st.lists(st.sampled_from(cols), min_size=1,
+                                  max_size=len(cols), unique=True))
+        rules = []
+        defaults = {}
+        for c in kept:
+            if data.draw(st.booleans()):
+                d = data.draw(st.integers(-5, 5))
+                defaults[c] = d
+                rules.append({"name": c, "default": d})
+            else:
+                rules.append({"name": c})
+        cfg = {"columns": rules}
+        out_cols = kept
+    else:
+        dropped = data.draw(st.lists(st.sampled_from(cols),
+                                     min_size=0, max_size=len(cols) - 1,
+                                     unique=True))
+        cfg = {"drop_columns": [{"name": c} for c in dropped]}
+        out_cols = [c for c in cols if c not in dropped]
+        defaults = {}
+
+    add_name = "added"
+    add_default = data.draw(st.integers(-5, 5))
+    cfg["add_columns"] = [{"name": add_name, "type": "long",
+                           "default": add_default}]
+
+    got = [tuple(r) for r in apply_filter(df, cfg).collect()]
+    idx = {c: i for i, c in enumerate(cols)}
+    want = []
+    for r in rows:
+        vals = []
+        for c in out_cols:
+            v = r[idx[c]]
+            if v is None and c in defaults:
+                v = defaults[c]
+            vals.append(v)
+        vals.append(add_default)
+        want.append(tuple(vals))
+    assert sorted(got, key=str) == sorted(want, key=str), (cfg, rows)
