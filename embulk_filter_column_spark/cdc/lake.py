@@ -245,9 +245,62 @@ class LakeTable:
                     os.path.join(self.path, entry["path"]))
         return groups
 
-    def read(self, include_tombstones: bool = False) -> DataFrame:
-        """Current table state — live rows only unless asked otherwise."""
-        m = self.head()
+    def manifest(self, snapshot_id: int) -> dict:
+        p = os.path.join(self.meta_dir, "snapshot-%08d.json" % snapshot_id)
+        if not os.path.exists(p):
+            raise EngineError(
+                "snapshot %d does not exist (expired or never written)"
+                % snapshot_id)
+        with open(p) as fh:
+            return json.load(fh)
+
+    def snapshot_ids(self) -> list:
+        out = []
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("snapshot-") and name.endswith(".json"):
+                out.append(int(name[len("snapshot-"):-len(".json")]))
+        return sorted(out)
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Delete data files and manifests referenced ONLY by snapshots
+        older than the newest ``keep_last`` (the analog of Iceberg's
+        expire_snapshots). COW merges rewrite whole buckets, so without
+        expiry every snapshot pins a full copy of its touched buckets —
+        unbounded storage at 10^10 rows. Time travel remains available
+        within the kept window. Returns the number of files removed."""
+        ids = self.snapshot_ids()
+        head_id = self.head()["snapshot_id"]
+        keep = set(ids[-keep_last:]) | {head_id}
+        live: set = set()
+        for sid in keep:
+            m = self.manifest(sid)
+            for files in m["buckets"].values():
+                for entry in files:
+                    live.add(entry["path"])
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _, files in os.walk(data_root):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                rel = os.path.relpath(full, self.path)
+                if rel not in live and f.endswith(".parquet"):
+                    os.remove(full)
+                    removed += 1
+        # prune now-empty snapshot dirs and expired manifests
+        for dirpath, _, _ in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        for sid in ids:
+            if sid not in keep:
+                os.remove(os.path.join(self.meta_dir,
+                                       "snapshot-%08d.json" % sid))
+        return removed
+
+    def read(self, include_tombstones: bool = False,
+             snapshot_id: int | None = None) -> DataFrame:
+        """Table state — live rows only unless asked otherwise.
+        ``snapshot_id`` time-travels to an older (unexpired) snapshot."""
+        m = self.head() if snapshot_id is None else self.manifest(snapshot_id)
         df = self._read_files(self._file_groups(m), m)
         if df is None:
             fields = list(self.schema(m).fields)
