@@ -85,12 +85,16 @@ _CSV_TYPES = {
 
 def read_embulk_file(spark: SparkSession, path: str,
                      parser: dict) -> DataFrame:
-    """Read a CSV/TSV file the way the reference's `file` input +
-    `csv` parser would, returning a DataFrame ready for apply_filter."""
-    if parser.get("type", "csv") != "csv":
+    """Read a CSV/TSV/JSONL file the way the reference's `file` input +
+    `csv`/`jsonl` parser would, returning a DataFrame ready for
+    apply_filter."""
+    ptype = parser.get("type", "csv")
+    if ptype in ("jsonl", "json"):
+        return _read_jsonl(spark, path, parser)
+    if ptype != "csv":
         raise ConfigError(
-            "only the csv parser is implemented (got %r)"
-            % parser.get("type"))
+            "only the csv and jsonl parsers are implemented (got %r)"
+            % ptype)
     columns = parser.get("columns") or []
     if not columns:
         raise ConfigError("parser.columns must be specified")
@@ -134,6 +138,41 @@ def read_embulk_file(spark: SparkSession, path: str,
 
     # refine timestamp columns (native to_timestamp, strftime translated)
     # and mark json columns with the engine's metadata marker
+    exprs = []
+    for c in columns:
+        name, t = c["name"], c.get("type", "string")
+        if t == "timestamp":
+            pattern = strftime_to_java(c.get("format", "%Y-%m-%d %H:%M:%S"))
+            exprs.append(F.to_timestamp(F.col(name), pattern).alias(name))
+        elif t == "json":
+            exprs.append(F.col(name).alias(
+                name, metadata={JSON_META_KEY: "json"}))
+        else:
+            exprs.append(F.col(name))
+    return df.select(*exprs)
+
+
+def _read_jsonl(spark: SparkSession, path: str, parser: dict) -> DataFrame:
+    """Embulk jsonl parser equivalent: one JSON object per line. With
+    ``columns`` the schema is explicit (same type mapping as csv —
+    timestamp columns parse their strftime format natively, json-typed
+    columns stay as marked JSON-text strings); without, Spark infers.
+    Distributed, splittable ``spark.read.json`` — no Python in the
+    scan."""
+    columns = parser.get("columns")
+    if not columns:
+        return spark.read.json(path)
+    fields = []
+    for c in columns:
+        t = c.get("type", "string")
+        if t in ("json", "timestamp"):
+            dt = T.StringType()
+        elif t in _CSV_TYPES:
+            dt = _CSV_TYPES[t]
+        else:
+            raise ConfigError("unknown jsonl column type %r" % t)
+        fields.append(T.StructField(c["name"], dt))
+    df = spark.read.schema(T.StructType(fields)).json(path)
     exprs = []
     for c in columns:
         name, t = c["name"], c.get("type", "string")

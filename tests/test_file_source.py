@@ -130,3 +130,28 @@ def test_edgecase_yml_end_to_end(spark, tmp_path):
         {key: "foo2", "copy_foo": "foo2", ghost: None},
         {key: "FOO", "copy_foo": "FOO", ghost: None},
     ]
+
+
+def test_jsonl_parser(spark, tmp_path):
+    """Embulk jsonl parser equivalent: typed columns, strftime
+    timestamps, json-marked nested columns feeding JSONPath rules."""
+    p = tmp_path / "data.jsonl"
+    # nested objects, as embulk-parser-jsonl delivers json-typed columns;
+    # Spark stringifies nested fields read under a StringType schema, so
+    # they arrive as marked JSON text ready for the JSONPath rules
+    p.write_text(
+        '{"time":"2015-07-13","id":1,"meta":{"k":1,"x":9}}\n'
+        '{"time":"2015-07-14","id":2,"meta":{"k":2,"x":8}}\n')
+    df = read_embulk_file(spark, str(p), {
+        "type": "jsonl",
+        "columns": [
+            {"name": "time", "type": "timestamp", "format": "%Y-%m-%d"},
+            {"name": "id", "type": "long"},
+            {"name": "meta", "type": "json"},
+        ]})
+    assert df.schema["meta"].metadata.get("engine.type") == "json"
+    out = apply_filter(df, {
+        "columns": [{"name": "id"}, {"name": "meta"},
+                    {"name": "$.meta.k"}]})
+    got = {r["id"]: r["meta"] for r in out.collect()}
+    assert got == {1: '{"k":1}', 2: '{"k":2}'}
