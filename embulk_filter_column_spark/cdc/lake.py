@@ -268,6 +268,10 @@ class LakeTable:
         expiry every snapshot pins a full copy of its touched buckets —
         unbounded storage at 10^10 rows. Time travel remains available
         within the kept window. Returns the number of files removed."""
+        if keep_last < 1:
+            # ids[-0:] would slice the whole list and expire nothing —
+            # reject instead of silently inverting the caller's intent
+            raise EngineError("keep_last must be >= 1")
         ids = self.snapshot_ids()
         head_id = self.head()["snapshot_id"]
         keep = set(ids[-keep_last:]) | {head_id}

@@ -99,11 +99,12 @@ class BatchJournal:
     def __init__(self, spark: SparkSession, lake_path: str):
         self.spark = spark
         self._remote = bool(_SCHEME_RE.match(lake_path)) \
-            and not lake_path.startswith("file://")
-        if lake_path.startswith("file://"):
-            # file:// is local: strip the scheme so os-level writes work
-            # (file://host/p is not supported; file:///p and file:/p are)
-            lake_path = lake_path[len("file://"):]
+            and not lake_path.startswith("file:")
+        if lake_path.startswith("file:"):
+            # file: is local — strip the scheme (file:///p, file://p and
+            # file:/p all resolve to /p; file://host/p is not supported)
+            # so os-level writes land where spark.read.parquet reads
+            lake_path = "/" + lake_path[len("file:"):].lstrip("/")
         if self._remote:
             self.lineage_path = lake_path.rstrip("/") + "/_lineage"
             self.metrics_path = lake_path.rstrip("/") + "/_metrics"

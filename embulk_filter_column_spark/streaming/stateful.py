@@ -37,10 +37,30 @@ _STATE_SCHEMA = T.StructType([
 ])
 
 
+_SESSION_COLS = ["key", "session_start_us", "session_end_us", "n_events"]
+
+
+def _fold_sessions(timestamps, gap_us: int, prior=None):
+    """The single session fold shared by the streaming and batch twins:
+    sorted ``timestamps`` extend/break sessions against optional
+    ``prior`` open state (start, last, n). Returns (closed sessions as
+    (start, last, n) tuples, open tail or None)."""
+    closed = []
+    start, last, n = prior if prior is not None else (None, None, None)
+    for ts in sorted(int(t) for t in timestamps):
+        if start is None:
+            start, last, n = ts, ts, 1
+        elif ts - last > gap_us:
+            closed.append((start, last, n))
+            start, last, n = ts, ts, 1
+        else:
+            last = max(last, ts)
+            n += 1
+    return closed, (None if start is None else (start, last, n))
+
+
 def _session_fn(gap_us: int, event_time_timeout: bool):
     import pandas as pd
-
-    cols = ["key", "session_start_us", "session_end_us", "n_events"]
 
     def fn(key, pdf_iter, state: GroupState):
         if event_time_timeout and state.hasTimedOut:
@@ -48,28 +68,23 @@ def _session_fn(gap_us: int, event_time_timeout: bool):
             # flush it and evict the key's state (bounded state at scale)
             start, last, n = state.get
             state.remove()
-            yield pd.DataFrame([(key[0], start, last, n)], columns=cols)
+            yield pd.DataFrame([(key[0], start, last, n)],
+                               columns=_SESSION_COLS)
             return
-        closed = []
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start = last = n = None
+        prior = tuple(state.get) if state.exists else None
+        # drain ALL Arrow chunks before folding: a group larger than the
+        # Arrow batch size arrives as multiple chunks, and a per-chunk
+        # fold would process timestamps out of global order
+        ts_all = []
         for pdf in pdf_iter:
-            for ts in sorted(int(t) for t in pdf["ts_us"]):
-                if start is None:
-                    start, last, n = ts, ts, 1
-                elif ts - last > gap_us:
-                    closed.append((key[0], start, last, n))
-                    start, last, n = ts, ts, 1
-                else:
-                    last = max(last, ts)
-                    n += 1
-        if start is not None:
-            state.update((start, last, n))
+            ts_all.extend(int(t) for t in pdf["ts_us"])
+        closed, tail = _fold_sessions(ts_all, gap_us, prior)
+        if tail is not None:
+            state.update(tail)
             if event_time_timeout:
-                state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
-        yield pd.DataFrame(closed, columns=cols)
+                state.setTimeoutTimestamp((tail[1] + gap_us) // 1000 + 1)
+        yield pd.DataFrame([(key[0], s, e, n) for s, e, n in closed],
+                           columns=_SESSION_COLS)
 
     return fn
 
@@ -92,20 +107,11 @@ def sessionize_batch(events: DataFrame, key: str = "url",
     def fn(pdf):
         out = []
         for k, grp in pdf.groupby("key"):
-            start = last = n = None
-            for ts in sorted(int(t) for t in grp["ts_us"]):
-                if start is None:
-                    start, last, n = ts, ts, 1
-                elif ts - last > gap_us:
-                    out.append((k, start, last, n))
-                    start, last, n = ts, ts, 1
-                else:
-                    last, n = max(last, ts), n + 1
-            if start is not None:
-                out.append((k, start, last, n))
-        return pd.DataFrame(
-            out, columns=["key", "session_start_us", "session_end_us",
-                          "n_events"])
+            closed, tail = _fold_sessions(grp["ts_us"], gap_us)
+            out.extend((k, s, e, n) for s, e, n in closed)
+            if tail is not None:
+                out.append((k, *tail))
+        return pd.DataFrame(out, columns=_SESSION_COLS)
 
     prepared = events.select(
         F.col(key).cast("string").alias("key"),

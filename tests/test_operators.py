@@ -333,3 +333,38 @@ def test_ivf_topk_recall_planted_cluster(spark):
                                    ["vec_id", "embedding"])
     bad = ivf_assign(ragged, cts)
     assert bad.where(F.col("cell").isNotNull()).count() == 0
+
+
+def test_dirty_input_guards(spark):
+    """Dirty rows (empty text, null/ragged vectors) must not form
+    degenerate blocking groups or crash — they are excluded from pair
+    generation (review finding: NULL buckets all land in ONE groupBy
+    group, unlike the old self-join where NULL != NULL)."""
+    from embulk_filter_column_spark.operators import (
+        minhash_lsh_candidates,
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "!!"), (4, "real text about spark"),
+         (5, "real text about spark")],
+        ["doc_id", "text"])
+    pairs = {(r["a"], r["b"])
+             for r in minhash_lsh_candidates(docs, bands=8).collect()}
+    assert pairs == {(4, 5)}, pairs
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[1] is None and sigs[2] is None and sigs[3] is None
+    spairs = {(r["a"], r["b"])
+              for r in simhash_near_dup_pairs(docs, max_hamming=3)
+              .collect()}
+    assert spairs == {(4, 5)}, spairs
+
+    vecs = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0]), (3, None),
+         (4, [1.0] * 8), (5, [2.0] * 8)],
+        "vec_id long, embedding array<double>")
+    got = {(r["a"], r["b"])
+           for r in embedding_near_dup_pairs(
+               vecs, dim=8, threshold=0.9, n_planes=4).collect()}
+    assert got == {(4, 5)}, got
