@@ -33,10 +33,24 @@ def _fast_tmp() -> str:
 
 
 def _mk_spark(cores: int):
+    """local[cores] by default; SPARK_GRAFT_MASTER_MODE=cluster switches
+    to local-cluster[N,exec_cores,mem] — REAL executor processes
+    (separate JVMs, network shuffle, per-executor Python workers), the
+    honest stand-in for the north rule's N-vs-4N-EXECUTOR criterion:
+    ``cores`` is then total parallelism and the executor count scales
+    with it (SPARK_GRAFT_EXEC_CORES per executor, default 1)."""
     from pyspark.sql import SparkSession
 
-    return (
-        SparkSession.builder.master(f"local[{cores}]")
+    cluster = os.environ.get("SPARK_GRAFT_MASTER_MODE", "") == "cluster"
+    if cluster:
+        exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "1"))
+        mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "4096"))
+        n_exec = max(cores // exec_cores, 1)
+        master = f"local-cluster[{n_exec},{exec_cores},{mem_mb}]"
+    else:
+        master = f"local[{cores}]"
+    builder = (
+        SparkSession.builder.master(master)
         .appName("bench")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
@@ -47,8 +61,14 @@ def _mk_spark(cores: int):
             _fast_tmp(), f"spark-local-{os.getpid()}"))
         .config("spark.driver.memory", os.environ.get(
             "SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .getOrCreate()
     )
+    if cluster:
+        # executor JVMs spawn their own Python workers, which must be
+        # able to import the package
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.abspath(__file__)))
+    return builder.getOrCreate()
 
 
 def _sf_of(sf_dir: str) -> float:
