@@ -107,7 +107,26 @@ class LakeTable:
             os.fsync(fh.fileno())
         os.replace(tmp, p)
 
-    def _commit_head(self, snapshot_id: int) -> None:
+    def _commit_head(self, snapshot_id: int,
+                     expected_parent: int | None = None) -> None:
+        """Move HEAD. With ``expected_parent``, refuse when another
+        writer advanced HEAD since this commit's manifest was derived —
+        best-effort optimistic concurrency (the check-then-rename window
+        is not atomic on a plain filesystem; Iceberg closes it with a
+        catalog CAS — the IcebergSink path inherits that). The engine's
+        single-writer pipelines never trip this; it guards operator
+        error (two pipelines pointed at one lake)."""
+        if expected_parent is not None:
+            head_file = os.path.join(self.meta_dir, "HEAD")
+            if os.path.exists(head_file):
+                with open(head_file) as fh:
+                    current = int(fh.read().strip())
+                if current != expected_parent:
+                    raise EngineError(
+                        "concurrent commit detected: HEAD moved to "
+                        "snapshot %d while this commit was derived from "
+                        "%d — retry from the new table state"
+                        % (current, expected_parent))
         tmp = os.path.join(self.meta_dir, "HEAD.tmp")
         with open(tmp, "w") as fh:
             fh.write(str(snapshot_id))
@@ -147,7 +166,7 @@ class LakeTable:
         m["parent"] = m["snapshot_id"]
         m["snapshot_id"] += 1
         self._write_manifest(m)
-        self._commit_head(m["snapshot_id"])
+        self._commit_head(m["snapshot_id"], expected_parent=m["parent"])
         return m["snapshot_id"]
 
     def _align(self, df: DataFrame, from_schema_id: int,
@@ -214,7 +233,7 @@ class LakeTable:
         m2["num_buckets"] = new_num_buckets
         m2["buckets"] = new_buckets
         self._write_manifest(m2)
-        self._commit_head(new_snap)
+        self._commit_head(new_snap, expected_parent=m["snapshot_id"])
         return new_snap
 
     # -- read ----------------------------------------------------------------
@@ -406,7 +425,7 @@ class LakeTable:
         m2["batch_id"] = batch_id
         m2["buckets"] = new_buckets
         self._write_manifest(m2)
-        self._commit_head(new_snap)
+        self._commit_head(new_snap, expected_parent=m["snapshot_id"])
 
         stats2 = obs2.get
         return MergeResult(

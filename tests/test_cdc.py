@@ -326,3 +326,20 @@ def test_time_travel_and_expire_snapshots(spark, wal, tmp_path):
     # resume after expiry is still a no-op (checkpoint + batch id intact)
     pipe2 = CDCPipeline(spark, wal, lake_dir, cp_dir, chunks_per_batch=1)
     assert pipe2.run() == []
+
+
+def test_concurrent_commit_detected(spark, wal, tmp_path):
+    """Best-effort optimistic concurrency: a commit derived from a stale
+    HEAD is refused instead of silently clobbering another writer's
+    snapshot."""
+    lake_dir, cp_dir = str(tmp_path / "lake"), str(tmp_path / "cp")
+    pipe = CDCPipeline(spark, wal, lake_dir, cp_dir, num_buckets=4,
+                       chunks_per_batch=1)
+    pipe.run(max_batches=2)
+    lake = pipe.table()
+    head = lake.head()["snapshot_id"]
+    with pytest.raises(EngineError, match="concurrent commit"):
+        lake._commit_head(head + 5, expected_parent=head - 1)
+    # correct parent still commits
+    lake._commit_head(head, expected_parent=head)
+    assert lake.head()["snapshot_id"] == head
