@@ -583,6 +583,31 @@ def q_text_quality(spark, sf_dir):
     return d.select("doc_id", "quality")
 
 
+_HTML_PREFIX = ('<html><head><script type="text/javascript">var x = 1 < 2;'
+                '</script><style>p { color: red; }</style></head><body>'
+                '<!-- crawl artifact --><h1 class="t">Title &amp; more</h1>'
+                '<p>')
+_HTML_SUFFIX = '</p>&nbsp;<div>tail</div></body></html>'
+
+
+def q_text_extract_html(spark, sf_dir):
+    """HTML → visible-text extraction over a BINARY html column (the
+    input_hint's html:binary contract): each document's text is wrapped
+    in a synthetic envelope with script/style blocks, attributes,
+    comments and entities; the extraction (native regex chain) must
+    recover title + body + tail. Oracle = the same chain in DuckDB via
+    functions.web.extract_text_sql."""
+    from embulk_filter_column_spark.functions.web import extract_text
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PREFIX), F.col("text"),
+                    F.lit(_HTML_SUFFIX))
+    d = d.withColumn("html", F.encode(html, "UTF-8"))
+    return d.select("doc_id",
+                    extract_text(F.col("html")).alias("extracted"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """mapInPandas media feature extraction (deterministic fake decoder;
     the metadata columns are oracle-checked, the feature vector is pinned
@@ -629,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
+        "text_extract_html": q_text_extract_html,
         "text_token_counts": q_text_token_counts,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -637,9 +663,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from embulk_filter_column_spark.functions.web import extract_text_sql
+
     toks = _TOKS_SQL.format(c="text")
     stop_list = ", ".join("'%s'" % w for w in _STOPWORDS)
+    html_expr = ("'%s' || text || '%s'"
+                 % (_HTML_PREFIX.replace("'", "''"),
+                    _HTML_SUFFIX.replace("'", "''")))
     return {
+        "text_extract_html": f"""
+            SELECT doc_id, {extract_text_sql(html_expr)} AS extracted
+            FROM documents
+        """,
         "filter_keep": """
             SELECT event_id, event_type AS etype, value FROM events
         """,

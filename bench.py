@@ -183,6 +183,7 @@ BENCH_QUERIES = (
     "similarity_bruteforce",
     "similarity_lsh",
     "similarity_ivf",
+    "text_extract_html",
     "text_token_counts",
     "text_quality",
     "text_lang_id",

@@ -6,3 +6,4 @@ from .text import (  # noqa: F401
     tokens,
 )
 from .vectors import cosine_similarity, dot, l2_norm  # noqa: F401
+from .web import extract_text  # noqa: F401

@@ -368,3 +368,23 @@ def test_dirty_input_guards(spark):
            for r in embedding_near_dup_pairs(
                vecs, dim=8, threshold=0.9, n_planes=4).collect()}
     assert got == {(4, 5)}, got
+
+
+def test_extract_text_html(spark):
+    """HTML → visible text: script/style/comment content vanishes, tags
+    drop, entities decode (amp last), whitespace collapses; binary and
+    string inputs behave identically."""
+    from embulk_filter_column_spark.functions import extract_text
+
+    html = ('<html><head><script>var a = "<p>ignore</p>";</script>'
+            '<style>h1 { color: red }</style></head><body>'
+            '<!-- note --><h1 id="t">A &amp;&nbsp;B</h1>'
+            '<p>x &lt;tag&gt; &amp;lt;literal&amp;gt; &#39;q&#39;</p>'
+            '</body></html>')
+    df = spark.createDataFrame([(1, html)], ["id", "html"])
+    got = df.select(extract_text("html").alias("t")).first()["t"]
+    assert got == "A & B x <tag> &lt;literal&gt; 'q'", repr(got)
+
+    bin_df = df.select("id", F.encode("html", "UTF-8").alias("html"))
+    got_bin = bin_df.select(extract_text("html").alias("t")).first()["t"]
+    assert got_bin == got
