@@ -608,6 +608,23 @@ def q_text_extract_html(spark, sf_dir):
                     extract_text(F.col("html")).alias("extracted"))
 
 
+def q_web_url_normalize(spark, sf_dir):
+    """URL canonicalization — the key-normalization step before LWW
+    keying on url (host case, default ports, fragments, query order).
+    Messy variants are constructed deterministically per doc; the oracle
+    runs functions.web.normalize_url_sql over the same construction."""
+    from embulk_filter_column_spark.functions.web import normalize_url
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTP://Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/Path/"), F.col("doc_id").cast("string"),
+        F.lit("/?b=2&a=1#frag"))
+    return d.select("doc_id",
+                    normalize_url(messy).alias("url_norm"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """mapInPandas media feature extraction (deterministic fake decoder;
     the metadata columns are oracle-checked, the feature vector is pinned
@@ -655,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "text_extract_html": q_text_extract_html,
+        "web_url_normalize": q_web_url_normalize,
         "text_token_counts": q_text_token_counts,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -663,7 +681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from embulk_filter_column_spark.functions.web import extract_text_sql
+    from embulk_filter_column_spark.functions.web import (
+        extract_text_sql,
+        normalize_url_sql,
+    )
 
     toks = _TOKS_SQL.format(c="text")
     stop_list = ", ".join("'%s'" % w for w in _STOPWORDS)
@@ -673,6 +694,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "text_extract_html": f"""
             SELECT doc_id, {extract_text_sql(html_expr)} AS extracted
+            FROM documents
+        """,
+        "web_url_normalize": f"""
+            SELECT doc_id, {normalize_url_sql(
+                "'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR)"
+                " || '.COM:80/Path/' || CAST(doc_id AS VARCHAR)"
+                " || '/?b=2&a=1#frag'")} AS url_norm
             FROM documents
         """,
         "filter_keep": """

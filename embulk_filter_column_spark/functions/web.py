@@ -59,3 +59,66 @@ def extract_text_sql(expr: str) -> str:
     for ent, ch in ENTITIES:
         out = "replace(%s, '%s', '%s')" % (out, ent, ch.replace("'", "''"))
     return "trim(regexp_replace(%s, '\\s+', ' ', 'g'))" % out
+
+
+def normalize_url(col) -> Column:
+    """Heuristic URL canonicalization — the key-normalization step
+    before last-writer-wins keying on ``url`` (crawl logs carry the
+    same page as Host-case/default-port/fragment/query-order variants,
+    which would otherwise split a page's history across keys):
+
+    * scheme and host lowercased
+    * fragment stripped
+    * default port stripped (:80 for http, :443 for https)
+    * trailing slashes on the path collapsed ('' and '/' both → '')
+    * query parameters sorted lexicographically (empty params dropped)
+
+    All native string/regex/array expressions; ``normalize_url_sql`` is
+    the ANSI twin."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://",
+                                      1))
+    after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    host = F.when(scheme == "http",
+                  F.regexp_replace(hostport, r":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(hostport, r":443$", "")) \
+            .otherwise(hostport)
+    rest = F.regexp_replace(after, r"^[^/?]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.when(rest.contains("?"),
+                   F.regexp_replace(rest, r"^[^?]*\?", "")) \
+             .otherwise(F.lit(""))
+    sorted_q = F.concat_ws(
+        "&", F.array_sort(F.filter(F.split(query, "&"),
+                                   lambda p: p != "")))
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q))
+         .otherwise(F.lit("")))
+
+
+def normalize_url_sql(expr: str) -> str:
+    """DuckDB twin of normalize_url (kept in lockstep)."""
+    u = f"regexp_replace(trim({expr}), '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    after = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    hostport = f"lower(regexp_extract({after}, '^([^/?]*)', 1))"
+    host = (f"CASE WHEN {scheme} = 'http' THEN "
+            f"regexp_replace({hostport}, ':80$', '') "
+            f"WHEN {scheme} = 'https' THEN "
+            f"regexp_replace({hostport}, ':443$', '') "
+            f"ELSE {hostport} END")
+    rest = f"regexp_replace({after}, '^[^/?]*', '')"
+    path = (f"regexp_replace(regexp_extract({rest}, '^([^?]*)', 1), "
+            f"'/+$', '')")
+    query = (f"CASE WHEN contains({rest}, '?') THEN "
+             f"regexp_replace({rest}, '^[^?]*\\?', '') ELSE '' END")
+    sorted_q = (f"array_to_string(list_sort(list_filter("
+                f"string_split({query}, '&'), x -> x <> '')), '&')")
+    return (f"{scheme} || '://' || {host} || {path} || "
+            f"CASE WHEN {sorted_q} <> '' THEN '?' || {sorted_q} "
+            f"ELSE '' END")

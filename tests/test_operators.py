@@ -388,3 +388,24 @@ def test_extract_text_html(spark):
     bin_df = df.select("id", F.encode("html", "UTF-8").alias("html"))
     got_bin = bin_df.select(extract_text("html").alias("t")).first()["t"]
     assert got_bin == got
+
+
+def test_normalize_url(spark):
+    from embulk_filter_column_spark.functions.web import normalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80/path/sub/?b=2&a=1#frag",
+         "http://example.com/path/sub?a=1&b=2"),
+        ("https://Host.com:443/", "https://host.com"),
+        ("https://host.com:8443/x", "https://host.com:8443/x"),
+        ("http://h.com/p//", "http://h.com/p"),
+        ("http://h.com", "http://h.com"),
+        ("http://h.com/?", "http://h.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               ["i", "url"])
+    got = {r["i"]: r["n"]
+           for r in df.select("i", normalize_url("url").alias("n"))
+           .collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
