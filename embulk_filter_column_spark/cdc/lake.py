@@ -333,6 +333,42 @@ class LakeTable:
             return df
         return df.where(F.col(OP_COL) != "D").drop(OP_COL)
 
+    def changes(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
+        """Changelog between two retained snapshots (the Iceberg
+        changelog-scan analog): one row per key whose state differs,
+        with ``_change_type`` ∈ {insert, update, delete} and the TO-side
+        payload (FROM-side payload for deletes). Lets downstream
+        consumers read the lake incrementally instead of diffing full
+        states themselves. Both snapshots must be within the
+        expire_snapshots retention window."""
+        m_to = self.manifest(to_snapshot)
+        key = m_to["key"]
+        frm = self.read(include_tombstones=True,
+                        snapshot_id=from_snapshot)
+        to = self.read(include_tombstones=True, snapshot_id=to_snapshot)
+        f_live = frm.where(F.col(OP_COL) != "D")
+        t_live = to.where(F.col(OP_COL) != "D")
+        cols = [c for c in t_live.columns if c != OP_COL]
+        lhs = f_live.select(
+            F.col(key).alias("_k"),
+            F.struct(*[F.col(c) for c in cols if c != key]).alias("_old"))
+        rhs = t_live.select(
+            *[F.col(c) for c in cols],
+            F.col(key).alias("_k2"),
+            F.struct(*[F.col(c) for c in cols if c != key]).alias("_new"))
+        joined = rhs.join(lhs, rhs["_k2"] == lhs["_k"], "full_outer")
+        inserts = (joined.where(F.col("_k").isNull())
+                   .select(*cols, F.lit("insert").alias("_change_type")))
+        updates = (joined.where(F.col("_k").isNotNull()
+                                & F.col("_k2").isNotNull()
+                                & (F.col("_old") != F.col("_new")))
+                   .select(*cols, F.lit("update").alias("_change_type")))
+        deleted_keys = (joined.where(F.col("_k2").isNull())
+                        .select(F.col("_k").alias(key)))
+        deletes = (f_live.join(deleted_keys, key, "inner")
+                   .select(*cols, F.lit("delete").alias("_change_type")))
+        return inserts.unionByName(updates).unionByName(deletes)
+
     # -- merge ----------------------------------------------------------------
 
     def merge(self, batch: DataFrame, batch_id: int,
