@@ -52,6 +52,7 @@ from embulk_filter_column_spark.operators.dedup import (
     simhash,
     simhash_jaccard_pairs,
 )
+from embulk_filter_column_spark.operators.groups import dedup_groups
 from embulk_filter_column_spark.operators.multimodal import (
     extract_features,
     fake_media_table,
@@ -445,6 +446,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
                                threshold=0.8)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup group resolution — the stage every pair generator feeds:
+    exact Jaccard pairs → connected components (alternating large-star /
+    small-star, O(log n) distributed rounds) → (doc_id, canonical_id,
+    group_size) with canonical = component min. The oracle is DuckDB's
+    recursive-CTE transitive closure over the same exact pair join, so
+    multi-hop chains (A~B~C with A≁C) are pinned end-to-end."""
+    _utc(spark)
+    pairs = ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir),
+                                threshold=0.8).select("a", "b")
+    return dedup_groups(pairs)
+
+
 def q_dedup_embedding(spark, sf_dir):
     _utc(spark)
     return embedding_near_dup_pairs(_embeddings_with_dups(spark, sf_dir),
@@ -539,16 +553,27 @@ def _embeddings_with_parallel_plants(spark, sf_dir):
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF ANN with planted neighbors: centroids k-means-trained on a
-    deterministic sample, cells assigned by Arrow-batch matmul, search
-    probes the query's nearest cells. The 9 planted parallel copies of
-    the query vector share its cell, so the top-10 is enumerable in SQL
-    (same construction as similarity_lsh)."""
+    """IVF ANN with planted neighbors, exercised through the PRODUCTION
+    layout (VERDICT r2 item 3): centroids k-means-trained on a
+    deterministic sample, cells assigned ONCE by write_ivf_table
+    (partitionBy("cell")), then the search probes the query's nearest
+    cells via partition-directory pruning — no per-query assignment
+    scan. The 9 planted parallel copies of the query vector share its
+    cell, so the top-10 is enumerable in SQL (same construction as
+    similarity_lsh)."""
+    from embulk_filter_column_spark.operators.similarity import (
+        ivf_topk_bucketed,
+        write_ivf_table,
+    )
+
     _utc(spark)
     eu = _embeddings_with_parallel_plants(spark, sf_dir)
     centroids = train_ivf_centroids(eu, n_centroids=16)
-    return ivf_topk(eu, _query_vec(spark, sf_dir), centroids, k=10,
-                    nprobe=2)
+    base = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+    write_ivf_table(eu, f"{base}/ivf", centroids)
+    return ivf_topk_bucketed(spark, f"{base}/ivf",
+                             _query_vec(spark, sf_dir), centroids,
+                             k=10, nprobe=2)
 
 
 def q_cdc_sessionize(spark, sf_dir):
@@ -664,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sessionize": q_cdc_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
         "dedup_embedding": q_dedup_embedding,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -818,6 +844,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         "dedup_simhash_pairs": _JACCARD_PAIRS_SQL,
+        # transitive closure (recursive CTE) over the same exact pair
+        # join: component label = min reachable id — pins the Spark
+        # large-star/small-star implementation on multi-hop chains
+        "dedup_groups": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT a, b FROM ({_JACCARD_PAIRS_SQL})
+            ),
+            edges AS (
+                SELECT a AS u, b AS v FROM pairs
+                UNION
+                SELECT b AS u, a AS v FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS n FROM edges),
+            reach AS (
+                SELECT n, n AS r FROM nodes
+                UNION
+                SELECT e.v AS n, reach.r
+                FROM reach JOIN edges e ON e.u = reach.n
+            ),
+            labels AS (
+                SELECT n AS doc_id, min(r) AS canonical_id
+                FROM reach GROUP BY n
+            )
+            SELECT doc_id, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id)
+                       AS group_size
+            FROM labels
+        """,
         "dedup_simhash": """
             SELECT doc_id AS a, doc_id + 1000000 AS b, 0 AS hamming
             FROM documents WHERE doc_id % 10 = 0

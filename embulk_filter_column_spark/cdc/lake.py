@@ -264,6 +264,57 @@ class LakeTable:
                     os.path.join(self.path, entry["path"]))
         return groups
 
+    def _has_delta(self, manifest: dict, buckets=None) -> bool:
+        """True when any selected bucket carries delta files (merge-on-
+        read): its rows are then base ∪ deltas and need a read-time LWW
+        to resolve to table state."""
+        sel = None if buckets is None else {int(b) for b in buckets}
+        for b, files in manifest["buckets"].items():
+            if sel is not None and int(b) not in sel:
+                continue
+            if any(entry.get("delta") for entry in files):
+                return True
+        return False
+
+    def _state_resolved(self, manifest: dict, buckets=None,
+                        align_to: dict | None = None) -> DataFrame:
+        """Snapshot state (tombstones included) of the selected buckets,
+        with merge-on-read resolution applied ONLY where needed: buckets
+        whose manifest entries are all base files hold exactly one row
+        per key and stream straight through; delta-carrying buckets get
+        the read-time LWW. Keys never cross buckets, so resolving the
+        two groups independently is exact — and a 10^10-row table whose
+        trickle batches touched 1% of buckets pays the resolve shuffle
+        on 1% of its rows, not a full-table shuffle. ``align_to`` reads
+        under a different (later) manifest's schema (changelog use)."""
+        man_align = align_to or manifest
+        sel = (list(manifest["buckets"].keys()) if buckets is None
+               else [str(int(b)) for b in buckets])
+        delta_bs = [b for b in sel
+                    if any(e.get("delta")
+                           for e in manifest["buckets"].get(b, []))]
+        clean_bs = [b for b in sel if b not in set(delta_bs)]
+        parts = []
+        clean = self._read_files(
+            self._file_groups(manifest, clean_bs), man_align)
+        if clean is not None:
+            parts.append(clean)
+        if delta_bs:
+            raw = self._read_files(
+                self._file_groups(manifest, delta_bs), man_align)
+            if raw is not None:
+                parts.append(last_writer_wins(
+                    raw, key=manifest["key"],
+                    order=tuple(manifest["order"])))
+        if not parts:
+            fields = list(self.schema(man_align).fields)
+            fields.append(T.StructField(OP_COL, T.StringType()))
+            return self.spark.createDataFrame([], T.StructType(fields))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def manifest(self, snapshot_id: int) -> dict:
         p = os.path.join(self.meta_dir, "snapshot-%08d.json" % snapshot_id)
         if not os.path.exists(p):
@@ -324,11 +375,7 @@ class LakeTable:
         """Table state — live rows only unless asked otherwise.
         ``snapshot_id`` time-travels to an older (unexpired) snapshot."""
         m = self.head() if snapshot_id is None else self.manifest(snapshot_id)
-        df = self._read_files(self._file_groups(m), m)
-        if df is None:
-            fields = list(self.schema(m).fields)
-            fields.append(T.StructField(OP_COL, T.StringType()))
-            df = self.spark.createDataFrame([], T.StructType(fields))
+        df = self._state_resolved(m)
         if include_tombstones:
             return df
         return df.where(F.col(OP_COL) != "D").drop(OP_COL)
@@ -340,12 +387,29 @@ class LakeTable:
         payload (FROM-side payload for deletes). Lets downstream
         consumers read the lake incrementally instead of diffing full
         states themselves. Both snapshots must be within the
-        expire_snapshots retention window."""
+        expire_snapshots retention window.
+
+        Scale design: the manifests record exactly which bucket → file
+        lists changed between the snapshots, and a COW merge rewrites
+        whole buckets — a bucket with an identical file list is
+        byte-identical, so only DIFFERING buckets are read and diffed.
+        An adjacent-snapshot changelog therefore costs O(touched
+        buckets), not O(table). Falls back to the full diff only when
+        the bucket count changed in between (a rebucket rewrites
+        everything anyway). Both sides are aligned to the TO-snapshot's
+        schema (rename chain applied, added columns null-filled), so
+        changelogs spanning an evolve() compare like for like instead
+        of misreporting renames as insert+delete."""
         m_to = self.manifest(to_snapshot)
+        m_from = self.manifest(from_snapshot)
         key = m_to["key"]
-        frm = self.read(include_tombstones=True,
-                        snapshot_id=from_snapshot)
-        to = self.read(include_tombstones=True, snapshot_id=to_snapshot)
+        buckets = None
+        if m_from["num_buckets"] == m_to["num_buckets"]:
+            buckets = [
+                b for b in set(m_from["buckets"]) | set(m_to["buckets"])
+                if m_from["buckets"].get(b) != m_to["buckets"].get(b)]
+        frm = self._state_resolved(m_from, buckets, align_to=m_to)
+        to = self._state_resolved(m_to, buckets, align_to=m_to)
         f_live = frm.where(F.col(OP_COL) != "D")
         t_live = to.where(F.col(OP_COL) != "D")
         cols = [c for c in t_live.columns if c != OP_COL]
@@ -372,12 +436,32 @@ class LakeTable:
     # -- merge ----------------------------------------------------------------
 
     def merge(self, batch: DataFrame, batch_id: int,
-              op_col: str = "op", n_salts: int | None = None) -> MergeResult:
+              op_col: str = "op", n_salts: int | None = None,
+              mode: str = "cow") -> MergeResult:
         """Key-partitioned MERGE upsert (last-writer-wins by the table's
         order columns; op 'D' → tombstone). Replay-safe: a batch id at or
         below the committed one is skipped without touching data.
         ``n_salts`` switches the in-batch dedup to the two-stage salted
-        LWW for hot-key skew (cdc.dedup.salted_last_writer_wins)."""
+        LWW for hot-key skew (cdc.dedup.salted_last_writer_wins).
+
+        ``mode`` picks the commit shape (VERDICT r2 item 7):
+
+        * ``"cow"`` (default): copy-on-write — touched buckets are read,
+          combined with the batch winners, and fully rewritten. Reads
+          stay cheap (one row per key on disk) but a 1-row batch
+          rewrites its whole bucket: per-batch write amplification is
+          O(touched buckets × bucket size). Right for large batches.
+        * ``"delta"``: merge-on-read — ONLY the batch winners are
+          written, appended to the touched buckets as delta files;
+          nothing is read back. Write cost is O(batch), so N tiny
+          batches cost O(N × batch) bytes, not O(N × bucket size).
+          Reads of delta-carrying buckets resolve base ∪ deltas with a
+          read-time LWW (replay order-insensitivity makes this exact);
+          ``compact()`` folds deltas back into base files — schedule it
+          like any other table maintenance.
+        """
+        if mode not in ("cow", "delta"):
+            raise EngineError("merge mode must be 'cow' or 'delta'")
         m = self.head()
         if batch_id <= m["batch_id"]:
             return MergeResult(batch_id, m["snapshot_id"], skipped=True)
@@ -420,14 +504,22 @@ class LakeTable:
             winners = last_writer_wins(src, key=key, order=order)
         winners = winners.withColumn("bucket", bucket_expr)
 
-        existing = self._read_files(self._file_groups(m, touched), m)
-        if existing is not None:
-            existing = existing.withColumn("bucket", bucket_expr)
-            combined = last_writer_wins(
-                existing.unionByName(winners, allowMissingColumns=True),
-                key=key, order=order)
-        else:
+        if mode == "delta":
+            # nothing read back: base ∪ deltas resolve at read time
             combined = winners
+        else:
+            # a delta-carrying bucket needs no pre-resolve here: the
+            # combined LWW below collapses base, deltas, and the batch
+            # in one aggregate (and the rewrite folds the deltas away)
+            existing = self._read_files(self._file_groups(m, touched), m)
+            if existing is not None:
+                existing = existing.withColumn("bucket", bucket_expr)
+                combined = last_writer_wins(
+                    existing.unionByName(winners,
+                                         allowMissingColumns=True),
+                    key=key, order=order)
+            else:
+                combined = winners
 
         obs2 = Observation()
         combined = combined.observe(
@@ -444,6 +536,22 @@ class LakeTable:
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(out_dir))
 
+        # reconcile what was actually written against the `touched` set
+        # computed from the separate key-scan job: a nondeterministic
+        # batch (unstable UDF/source) could place winner rows in buckets
+        # the key scan never saw — silently omitting those directories
+        # from the manifest would be row loss with no error
+        written = {
+            int(os.path.basename(d).split("=", 1)[1])
+            for d in glob.glob(os.path.join(out_dir, "bucket=*"))}
+        unexpected = written - set(touched)
+        if unexpected:
+            raise EngineError(
+                "merge wrote unexpected bucket directories %s (touched "
+                "set was %s): the batch is nondeterministic between "
+                "jobs — aborting before commit so no rows are lost"
+                % (sorted(unexpected), touched))
+
         new_buckets = dict(m["buckets"])
         cur_schema_id = m["schema_id"]
         for b in touched:
@@ -452,8 +560,13 @@ class LakeTable:
                 for p in glob.glob(
                     os.path.join(out_dir, "bucket=%d" % b, "*.parquet"))
             ]
-            new_buckets[str(b)] = [
-                {"path": p, "schema_id": cur_schema_id} for p in paths]
+            if mode == "delta":
+                new_buckets[str(b)] = list(m["buckets"].get(str(b), [])) + [
+                    {"path": p, "schema_id": cur_schema_id, "delta": True}
+                    for p in paths]
+            else:
+                new_buckets[str(b)] = [
+                    {"path": p, "schema_id": cur_schema_id} for p in paths]
 
         m2 = dict(m)
         m2["snapshot_id"] = new_snap
@@ -470,3 +583,48 @@ class LakeTable:
             winners=int(stats2.get("winners") or 0),
             tombstones=int(stats2.get("tombstones") or 0),
             buckets_touched=len(touched))
+
+    def compact(self, buckets=None) -> int:
+        """Fold delta files back into a single base file set per bucket
+        (the maintenance half of ``merge(mode="delta")`` — the analog of
+        Iceberg's rewrite_data_files over MOR deletes). Only buckets
+        that actually carry deltas are read and rewritten; the rest keep
+        their entries untouched. ``buckets`` restricts further (compact
+        incrementally, a shard at a time, at 10^10 rows). Tombstones are
+        retained, batch id preserved — exactly-once resume and replay
+        order-insensitivity are unaffected. Returns the new snapshot id
+        (or the current one when there was nothing to fold)."""
+        m = self.head()
+        sel = None if buckets is None else {int(b) for b in buckets}
+        target = sorted(
+            int(b) for b, files in m["buckets"].items()
+            if any(e.get("delta") for e in files)
+            and (sel is None or int(b) in sel))
+        if not target:
+            return m["snapshot_id"]
+        df = self._read_files(self._file_groups(m, target), m)
+        resolved = last_writer_wins(df, key=m["key"],
+                                    order=tuple(m["order"]))
+        bucket_expr = F.pmod(F.xxhash64(F.col(m["key"])),
+                             F.lit(m["num_buckets"])).cast("int")
+        new_snap = m["snapshot_id"] + 1
+        out_dir = os.path.join(self.path, "data/s%08d" % new_snap)
+        (resolved.withColumn("bucket", bucket_expr)
+         .repartition(len(target), "bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
+        new_buckets = dict(m["buckets"])
+        for b in target:
+            paths = [
+                os.path.relpath(p, self.path)
+                for p in glob.glob(
+                    os.path.join(out_dir, "bucket=%d" % b, "*.parquet"))
+            ]
+            new_buckets[str(b)] = [
+                {"path": p, "schema_id": m["schema_id"]} for p in paths]
+        m2 = dict(m)
+        m2["snapshot_id"] = new_snap
+        m2["parent"] = m["snapshot_id"]
+        m2["buckets"] = new_buckets
+        self._write_manifest(m2)
+        self._commit_head(new_snap, expected_parent=m["snapshot_id"])
+        return new_snap

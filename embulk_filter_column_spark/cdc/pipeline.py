@@ -46,7 +46,14 @@ class CDCPipeline:
         order: tuple = ("warc_ts", "seq"),
         num_buckets: int = 64,
         chunks_per_batch: int = 1,
-        n_salts: int | None = None,
+        n_salts: int | None | str = None,
+        auto_salt_n: int = 16,
+        hot_key_fraction: float = 0.01,
+        # a key only skews the LWW reduce when it dominates a shuffle
+        # partition; 5% of a batch in one key is well past that for any
+        # realistic partition count
+        hot_key_share: float = 0.05,
+        merge_mode: str = "cow",
         sink=None,
         journal_path: str | None = None,
     ):
@@ -65,9 +72,27 @@ class CDCPipeline:
         self.order = tuple(order)
         self.num_buckets = num_buckets
         self.chunks_per_batch = chunks_per_batch
+        # "cow" rewrites touched buckets per batch (large batches);
+        # "delta" appends only the batch winners as merge-on-read delta
+        # files (small/trickle batches — see LakeTable.merge docstring)
+        self.merge_mode = merge_mode
         # hot-key skew defense: fan the in-batch LWW out over this many
-        # salts (cdc.dedup.salted_last_writer_wins); None = single-stage
-        self.n_salts = n_salts
+        # salts (cdc.dedup.salted_last_writer_wins); None = single-stage;
+        # "auto" = per-batch sampled-frequency trigger (SURVEY §4): a
+        # cheap column-pruned sample of the batch's keys decides whether
+        # any key exceeds hot_key_share of the batch — only then does the
+        # two-stage salted LWW engage (auto_salt_n salts). The trigger
+        # costs one tiny sampled aggregation per batch over the key
+        # column alone (the WAL scan prunes to one column; the rule
+        # projection is NOT evaluated for it).
+        self.auto_salt = n_salts == "auto"
+        self.n_salts = None if self.auto_salt else n_salts
+        self.auto_salt_n = auto_salt_n
+        self.hot_key_fraction = hot_key_fraction
+        self.hot_key_share = hot_key_share
+        # (batch_id, engaged, n_hot) per processed batch — lets operators
+        # and tests see when the skew path kicked in
+        self.salt_log: list = []
         if config_schedule:
             self.schedule = sorted(
                 ((int(k), self._coerce(v)) for k, v in
@@ -157,10 +182,23 @@ class CDCPipeline:
 
             config = self._config_for_chunk(lo)
             events = self.reader.read_chunks(lo, hi)
+            use_salts = self.n_salts
+            if self.auto_salt:
+                from .dedup import hot_keys
+
+                hot = hot_keys(events.select(self.key), key=self.key,
+                               fraction=self.hot_key_fraction,
+                               min_share=self.hot_key_share)
+                use_salts = self.auto_salt_n if hot else None
+                self.salt_log.append((batch_id, bool(hot), len(hot)))
             projected, out_schema = self._project(events, config)
             lake = self._ensure_lake(out_schema)
-            result = lake.merge(projected, batch_id,
-                                n_salts=self.n_salts)
+            merge_kwargs = {"n_salts": use_salts}
+            if self.merge_mode != "cow":
+                # the default stays positional-free so custom sinks
+                # (IcebergSink MERGE INTO) need not grow a mode knob
+                merge_kwargs["mode"] = self.merge_mode
+            result = lake.merge(projected, batch_id, **merge_kwargs)
             self.journal.record(result, lo, hi, time.monotonic() - t0)
             self.checkpoint.commit(hi, batch_id)
             results.append(result)

@@ -73,10 +73,15 @@ def normalize_url(col) -> Column:
     * trailing slashes on the path collapsed ('' and '/' both → '')
     * query parameters sorted lexicographically (empty params dropped)
 
+    Scheme-less inputs (no ``xyz://`` prefix) pass through unchanged:
+    guessing a scheme would corrupt the LWW key ('://host/...' collides
+    or splits histories), and a crawl log's non-URL keys (file paths,
+    opaque ids) must stay stable.
+
     All native string/regex/array expressions; ``normalize_url_sql`` is
     the ANSI twin."""
-    u = F.trim(F.col(col) if isinstance(col, str) else col)
-    u = F.regexp_replace(u, r"#.*$", "")
+    raw = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(raw, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://",
                                       1))
     after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -95,10 +100,11 @@ def normalize_url(col) -> Column:
     sorted_q = F.concat_ws(
         "&", F.array_sort(F.filter(F.split(query, "&"),
                                    lambda p: p != "")))
-    return F.concat(
+    normalized = F.concat(
         scheme, F.lit("://"), host, path,
         F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q))
          .otherwise(F.lit("")))
+    return F.when(scheme == "", raw).otherwise(normalized)
 
 
 def normalize_url_sql(expr: str) -> str:
@@ -119,6 +125,8 @@ def normalize_url_sql(expr: str) -> str:
              f"regexp_replace({rest}, '^[^?]*\\?', '') ELSE '' END")
     sorted_q = (f"array_to_string(list_sort(list_filter("
                 f"string_split({query}, '&'), x -> x <> '')), '&')")
-    return (f"{scheme} || '://' || {host} || {path} || "
-            f"CASE WHEN {sorted_q} <> '' THEN '?' || {sorted_q} "
-            f"ELSE '' END")
+    normalized = (f"{scheme} || '://' || {host} || {path} || "
+                  f"CASE WHEN {sorted_q} <> '' THEN '?' || {sorted_q} "
+                  f"ELSE '' END")
+    return (f"CASE WHEN {scheme} = '' THEN trim({expr}) "
+            f"ELSE {normalized} END")

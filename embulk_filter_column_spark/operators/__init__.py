@@ -1,3 +1,7 @@
+from .groups import (  # noqa: F401
+    connected_components,
+    dedup_groups,
+)
 from .dedup import (  # noqa: F401
     embedding_near_dup_pairs,
     exact_dedup,
@@ -12,9 +16,11 @@ from .similarity import (  # noqa: F401
     brute_force_topk,
     ivf_assign,
     ivf_topk,
+    ivf_topk_bucketed,
     lsh_topk,
     lsh_topk_bucketed,
     train_ivf_centroids,
     write_bucketed_embeddings,
+    write_ivf_table,
 )
 from .textquality import annotate_text  # noqa: F401

@@ -181,22 +181,67 @@ def _c_vec(col):
     return F.col(col) if isinstance(col, str) else col
 
 
-def ivf_topk(df: DataFrame, query_vec, centroids, k: int = 10,
-             nprobe: int = 2, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
-    """IVF search: restrict to the ``nprobe`` cells nearest the query,
-    exact cosine rerank inside them. At 10^10 rows, write the assigned
-    table ``partitionBy("cell")`` and the ``cell IN (...)`` filter is a
-    partition prune (same layout trick as lsh_topk_bucketed)."""
+def _ivf_probes(query_vec, centroids, nprobe: int) -> list:
+    """The ``nprobe`` cell ids nearest the query (by dot product over
+    unit centroids == cosine)."""
     import numpy as np
 
     cts = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(list(query_vec), dtype=np.float64)
     q = q / max(float(np.linalg.norm(q)), 1e-12)
-    probes = [int(i) for i in (cts @ q).argsort()[::-1][:nprobe]]
+    return [int(i) for i in (cts @ q).argsort()[::-1][:nprobe]]
+
+
+def ivf_topk(df: DataFrame, query_vec, centroids, k: int = 10,
+             nprobe: int = 2, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF search over an UNINDEXED frame: assign cells on the fly (a
+    pandas-UDF matmul over the whole input), restrict to the ``nprobe``
+    cells nearest the query, exact cosine rerank inside them. Use this
+    for one-off queries over an ad-hoc frame; at 10^10 rows the per-query
+    full-scan assignment is the wrong shape — materialize the index ONCE
+    with ``write_ivf_table`` and search with ``ivf_topk_bucketed``, whose
+    probe filter is a partition-directory prune."""
+    probes = _ivf_probes(query_vec, centroids, nprobe)
     ql = _query_lit(query_vec)
-    return (ivf_assign(df, cts, vec_col)
+    return (ivf_assign(df, centroids, vec_col)
             .where(F.col("cell").isin(probes))
+            .select(F.col(id_col),
+                    F.round(cosine_similarity(F.col(vec_col), ql), 6)
+                     .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
+def write_ivf_table(df: DataFrame, path: str, centroids,
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF index layout: the table with its ``cell``
+    assignment computed ONCE, written ``partitionBy("cell")``. This is
+    the amortization step ivf_topk can't do per query — the Arrow-batch
+    matmul runs exactly once over the corpus, and every subsequent
+    ``ivf_topk_bucketed`` search reads only its probed cell directories
+    (nprobe/n_centroids of the table) via plan-time partition pruning.
+    Rows with NULL cells (null/ragged vectors) are excluded — they can
+    never be probed."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    (assigned.where(F.col("cell").isNotNull())
+     .repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def ivf_topk_bucketed(spark, path: str, query_vec, centroids,
+                      k: int = 10, nprobe: int = 2,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """IVF search over a cell-partitioned table written by
+    ``write_ivf_table``: ``cell IN (probes)`` is a partition filter, so
+    the scan lists and reads ONLY the probed cell directories — no
+    per-query assignment pass, no Python in the plan (the rerank is the
+    native HOF cosine). Mirrors lsh_topk_bucketed."""
+    probes = _ivf_probes(query_vec, centroids, nprobe)
+    ql = _query_lit(query_vec)
+    df = spark.read.parquet(path)
+    return (df.where(F.col("cell").isin(probes))
             .select(F.col(id_col),
                     F.round(cosine_similarity(F.col(vec_col), ql), 6)
                      .alias("cosine"))

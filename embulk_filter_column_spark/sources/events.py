@@ -18,6 +18,9 @@ handling downstream.
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -118,5 +121,10 @@ def write_wal(df: DataFrame, path: str, chunk_rows: int = 100_000) -> int:
     (out.repartition("chunk")
         .sortWithinPartitions("seq")
         .write.mode("overwrite").partitionBy("chunk").parquet(path))
-    n = out.select(F.max("chunk")).first()[0]
-    return int(n) + 1 if n is not None else 0
+    # chunk count from the written partition directories — an O(dirs)
+    # driver listing, not an extra full-scan max() job over the WAL
+    chunks = glob.glob(os.path.join(path, "chunk=*"))
+    if not chunks:
+        return 0
+    return max(int(os.path.basename(c).split("=", 1)[1])
+               for c in chunks) + 1

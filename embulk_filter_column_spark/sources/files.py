@@ -43,6 +43,14 @@ _STRF_TO_JAVA = {
     "j": "DDD", "%": "%",
 }
 
+# the '-' (no-padding) flag needs the SINGLE-LETTER Java pattern:
+# strict DateTimeFormatter fails on '5' against 'dd', and PERMISSIVE
+# parse would silently null the timestamp instead
+_STRF_UNPADDED = {
+    "d": "d", "e": "d", "m": "M", "H": "H", "k": "H", "I": "h",
+    "M": "m", "S": "s", "j": "D", "y": "y", "Y": "yyyy",
+}
+
 
 def strftime_to_java(fmt: str) -> str:
     """Translate a Ruby-strftime format to a Java DateTimeFormatter
@@ -52,11 +60,25 @@ def strftime_to_java(fmt: str) -> str:
     while i < n:
         ch = fmt[i]
         if ch == "%" and i + 1 < n:
+            flag = None
             d = fmt[i + 1]
             if d in ("-", "0", "_", "^") and i + 2 < n:  # padding flags
+                flag = d
                 i += 1
                 d = fmt[i + 1]
-            frag = _STRF_TO_JAVA.get(d)
+            if flag == "-":
+                # unpadded values need the single-letter pattern; for
+                # directives where '-' is a no-op (%-Y etc.) fall back
+                frag = _STRF_UNPADDED.get(d, _STRF_TO_JAVA.get(d))
+            elif flag in ("_", "^"):
+                # space-padding / upcasing have no strict Java-pattern
+                # equivalent — mistranslating would null timestamps in
+                # PERMISSIVE mode, so reject loudly
+                raise ConfigError(
+                    "timestamp format flag %%%s%s in %r has no native "
+                    "Spark pattern equivalent" % (flag, d, fmt))
+            else:  # no flag, or '0' (zero padding — the Java default)
+                frag = _STRF_TO_JAVA.get(d)
             if frag is None:
                 raise ConfigError(
                     "timestamp format directive %%%s in %r has no native "

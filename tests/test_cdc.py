@@ -386,3 +386,281 @@ def test_changelog_between_snapshots(spark, wal, tmp_path):
     for u in dels:
         rebuilt.pop(u)
     assert rebuilt == state2
+
+
+def test_changelog_across_schema_evolution(spark, wal, tmp_path):
+    """changes() spanning an evolve() (ADVICE r2): the FROM side must be
+    aligned to the TO snapshot's schema — renamed columns compare as the
+    same column (NOT insert+delete), added columns null-fill, and the
+    changelog carries the TO schema."""
+    base = {"columns": [
+        {"name": "op"}, {"name": "seq"}, {"name": "url"},
+        {"name": "warc_ts"}, {"name": "text"}, {"name": "lang"},
+    ]}
+    evolved = {"columns": [
+        {"name": "op"}, {"name": "seq"}, {"name": "url"},
+        {"name": "warc_ts"},
+        {"name": "body", "src": "text"},
+        {"name": "quality", "type": "double", "default": 1.0},
+    ]}
+    pipe = CDCPipeline(spark, wal, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"),
+                       config_schedule={0: base, 2: evolved},
+                       num_buckets=8)
+    pipe.run(max_batches=1)
+    lake = pipe.table()
+    s1 = lake.head()["snapshot_id"]
+    state1 = {r["url"]: r["text"] for r in lake.read().collect()}
+    pipe.run()
+    s2 = lake.head()["snapshot_id"]
+    state2 = {r["url"]: r["body"] for r in lake.read().collect()}
+
+    ch = lake.changes(s1, s2)
+    # TO-side schema (rename applied, added column present)
+    assert "body" in ch.columns and "quality" in ch.columns
+    assert "text" not in ch.columns
+    rows = ch.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], {})[r["url"]] = r["body"]
+    ins = by_type.get("insert", {})
+    dels = by_type.get("delete", {})
+    # a rename must NOT misreport surviving keys as insert+delete
+    assert set(ins) == set(state2) - set(state1)
+    assert set(dels) == set(state1) - set(state2)
+    # updates carry the TO payload under the new column name
+    for u, body in by_type.get("update", {}).items():
+        assert body == state2[u]
+
+
+def test_changelog_reads_only_touched_buckets(spark, tmp_path):
+    """Manifest-pruned changes() (VERDICT r2 item 4): an adjacent-
+    snapshot changelog must read only the buckets whose manifest file
+    lists differ — O(touched), not O(table)."""
+    from pyspark.sql import functions as F
+
+    lake_dir = str(tmp_path / "lake")
+    events = web_change_events(spark, 2000, n_domains=20,
+                               pages_per_domain=10, seed=1)
+    lake = LakeTable.create(
+        spark, lake_dir,
+        schema=events.drop("op").schema, key="url",
+        order=("warc_ts", "seq"), num_buckets=16)
+    lake.merge(events, batch_id=1)
+    s1 = lake.head()["snapshot_id"]
+    m1 = lake.manifest(s1)
+
+    # a second batch touching ONE live url → one bucket rewritten
+    one = (lake.read().orderBy("url").limit(1)
+           .withColumn("seq", F.col("seq") + 1_000_000)
+           .withColumn("text", F.lit("updated body"))
+           .withColumn("op", F.lit("I")))
+    lake.merge(one, batch_id=2)
+    s2 = lake.head()["snapshot_id"]
+    m2 = lake.manifest(s2)
+
+    differing = {b for b in set(m1["buckets"]) | set(m2["buckets"])
+                 if m1["buckets"].get(b) != m2["buckets"].get(b)}
+    assert 0 < len(differing) < m2["num_buckets"]
+
+    ch = lake.changes(s1, s2)
+    allowed = set()
+    for m in (m1, m2):
+        for b in differing:
+            for e in m["buckets"].get(b, []):
+                allowed.add(os.path.join(lake_dir, e["path"]))
+    read_files = {f[len("file://"):] if f.startswith("file://") else f
+                  for f in ch.inputFiles()}
+    norm_allowed = set(allowed)
+    assert read_files, "changelog scan must read the touched buckets"
+    assert read_files <= norm_allowed, (
+        read_files - norm_allowed)
+    # and the changelog itself is correct
+    got = {(r["url"], r["_change_type"]) for r in ch.collect()}
+    assert got == {(one.first()["url"], "update")}
+
+
+def test_auto_salting_engages_on_viral_key(spark, tmp_path):
+    """n_salts="auto" (VERDICT r2 item 5): a planted viral url (~60% of
+    every batch) trips the sampled-frequency trigger, the salted LWW
+    path engages, and the replayed state still matches the oracle."""
+    from pyspark.sql import functions as F
+
+    n = 4000
+    viral = "https://viral.example.com/"
+    events = (spark.range(n).select(
+        F.lit("I").alias("op"),
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 10 < 6, viral)
+         .otherwise(F.concat(F.lit("https://cold"),
+                             F.pmod(F.col("id"), F.lit(200)),
+                             F.lit(".example.com/"))).alias("url"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id"))
+         .alias("warc_ts"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text")))
+    wal_dir = str(tmp_path / "wal")
+    write_wal(events, wal_dir, chunk_rows=1000)
+
+    pipe = CDCPipeline(
+        spark, wal_dir, str(tmp_path / "lake"), str(tmp_path / "cp"),
+        filter_config={"columns": [
+            {"name": "op"}, {"name": "seq"}, {"name": "url"},
+            {"name": "warc_ts"}, {"name": "text"}]},
+        num_buckets=8, chunks_per_batch=2, n_salts="auto",
+        hot_key_fraction=0.5)
+    pipe.run()
+
+    assert pipe.salt_log, "auto mode must record a decision per batch"
+    assert all(engaged for _, engaged, _ in pipe.salt_log), pipe.salt_log
+
+    want = oracle_state(spark, wal_dir)
+    got = final_pairs(pipe.table().read())
+    assert got == sorted(zip(want["url"], want["text"]))
+
+
+def test_auto_salting_stays_off_on_uniform_keys(spark, tmp_path):
+    """Uniform key distribution must NOT engage the two-stage path (it
+    costs an extra shuffle)."""
+    from pyspark.sql import functions as F
+
+    n = 4000
+    events = (spark.range(n).select(
+        F.lit("I").alias("op"),
+        F.col("id").alias("seq"),
+        F.concat(F.lit("https://u"), F.pmod(F.col("id"), F.lit(1000)),
+                 F.lit(".example.com/")).alias("url"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id"))
+         .alias("warc_ts"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text")))
+    wal_dir = str(tmp_path / "wal")
+    write_wal(events, wal_dir, chunk_rows=2000)
+
+    pipe = CDCPipeline(
+        spark, wal_dir, str(tmp_path / "lake"), str(tmp_path / "cp"),
+        filter_config={"columns": [
+            {"name": "op"}, {"name": "seq"}, {"name": "url"},
+            {"name": "warc_ts"}, {"name": "text"}]},
+        num_buckets=8, chunks_per_batch=2, n_salts="auto",
+        hot_key_fraction=0.5)
+    pipe.run()
+    assert pipe.salt_log
+    assert not any(engaged for _, engaged, _ in pipe.salt_log), \
+        pipe.salt_log
+
+
+def _data_bytes(lake_dir, snapshot_prefix=None):
+    total = 0
+    root = os.path.join(lake_dir, "data")
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            if snapshot_prefix and snapshot_prefix not in dirpath:
+                continue
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def test_delta_merge_bounds_write_amplification(spark, tmp_path):
+    """merge(mode="delta") (VERDICT r2 item 7): N tiny batches must
+    write O(N × batch) bytes — NOT N × bucket-size rewrites — while the
+    replayed state stays byte-identical to pure COW; compact() then
+    folds the deltas and preserves the state."""
+    from pyspark.sql import functions as F
+
+    def mk_events(lo, hi):
+        return (spark.range(lo, hi).select(
+            F.lit("I").alias("op"),
+            F.col("id").alias("seq"),
+            F.concat(F.lit("https://site"),
+                     F.pmod(F.col("id"), F.lit(10_000)),
+                     F.lit(".example.com/")).alias("url"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id"))
+             .alias("warc_ts"),
+            F.sha2(F.col("id").cast("string"), 256).alias("text")))
+
+    # seed both tables with the same big base batch: 10k distinct urls
+    # over 2 buckets → ~5k rows per bucket, so one COW bucket rewrite
+    # is a few hundred KB while a 1-row delta file is ~2 KB (the
+    # parquet fixed overhead must not dominate the comparison)
+    base = mk_events(0, 20_000)
+    schema = base.drop("op").schema
+    cow_dir, mor_dir = str(tmp_path / "cow"), str(tmp_path / "mor")
+    cow = LakeTable.create(spark, cow_dir, schema, num_buckets=2)
+    mor = LakeTable.create(spark, mor_dir, schema, num_buckets=2)
+    cow.merge(base, batch_id=1)
+    mor.merge(base, batch_id=1)
+    base_bytes = _data_bytes(mor_dir)
+
+    # 8 one-row trickle batches
+    for i in range(8):
+        one = mk_events(10_000 + i, 10_001 + i)
+        cow.merge(one, batch_id=2 + i)
+        mor.merge(one, batch_id=2 + i, mode="delta")
+
+    cow_trickle = _data_bytes(cow_dir) - base_bytes
+    # expire first so only live files are counted for COW too
+    cow.expire_snapshots(keep_last=1)
+    mor_growth = _data_bytes(mor_dir) - base_bytes
+    cow_growth = _data_bytes(cow_dir) - base_bytes
+    # COW rewrote whole buckets per batch; MOR wrote only the tiny
+    # winner files. The MOR growth must be far below one bucket rewrite
+    # per batch (conservative 10× margin to stay noise-proof).
+    assert mor_growth * 10 < max(cow_trickle, cow_growth), \
+        (mor_growth, cow_trickle, cow_growth)
+
+    # states identical between the two modes
+    def state(t):
+        return sorted((r["url"], r["seq"], r["text"])
+                      for r in t.read().collect())
+    assert state(mor) == state(cow)
+
+    # deltas are really there, then compact() folds them
+    assert mor._has_delta(mor.head())
+    want = state(mor)
+    snap = mor.compact()
+    assert snap == mor.head()["snapshot_id"]
+    assert not mor._has_delta(mor.head())
+    assert state(mor) == want
+    # batch id preserved → replay of an old batch is still skipped
+    assert mor.merge(mk_events(0, 10), batch_id=3).skipped
+
+
+def test_delta_merge_with_deletes_and_changes(spark, tmp_path):
+    """Tombstones delivered as deltas shadow base rows; changes() over a
+    delta snapshot resolves merge-on-read state correctly."""
+    from pyspark.sql import functions as F
+
+    def mk(lo, hi, op="I"):
+        return (spark.range(lo, hi).select(
+            F.lit(op).alias("op"),
+            F.col("id").alias("seq"),
+            F.concat(F.lit("https://d"), F.pmod(F.col("id"), F.lit(10)),
+                     F.lit(".example.com/")).alias("url"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id"))
+             .alias("warc_ts"),
+            F.sha2(F.col("id").cast("string"), 256).alias("text")))
+
+    lake_dir = str(tmp_path / "lake")
+    lake = LakeTable.create(spark, lake_dir, mk(0, 1).drop("op").schema,
+                            num_buckets=4)
+    lake.merge(mk(0, 100), batch_id=1)
+    s1 = lake.head()["snapshot_id"]
+    urls_before = {r["url"] for r in lake.read().collect()}
+    assert len(urls_before) == 10
+
+    # delete url d3 via a delta tombstone (seq beyond all base rows)
+    dele = (mk(0, 1, op="D")
+            .withColumn("url", F.lit("https://d3.example.com/"))
+            .withColumn("seq", F.lit(10_000))
+            .withColumn("warc_ts",
+                        F.timestamp_seconds(F.lit(1_800_000_000))))
+    lake.merge(dele, batch_id=2, mode="delta")
+    s2 = lake.head()["snapshot_id"]
+
+    after = {r["url"] for r in lake.read().collect()}
+    assert after == urls_before - {"https://d3.example.com/"}
+
+    ch = lake.changes(s1, s2).collect()
+    assert {(r["url"], r["_change_type"]) for r in ch} == \
+        {("https://d3.example.com/", "delete")}

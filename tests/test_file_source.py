@@ -62,6 +62,33 @@ def test_strftime_to_java():
         strftime_to_java("%Q")
 
 
+def test_strftime_padding_flags():
+    """ADVICE r2: %-d etc. must map to the SINGLE-letter Java pattern
+    (strict parse of '5' fails against 'dd'); '0' keeps the padded
+    default; '_'/'^' have no strict equivalent and are rejected."""
+    assert strftime_to_java("%-m/%-d/%Y") == "M/d/yyyy"
+    assert strftime_to_java("%-H:%-M:%-S") == "H:m:s"
+    assert strftime_to_java("%0d.%0m") == "dd.MM"
+    assert strftime_to_java("%-Y") == "yyyy"   # '-' is a no-op on %Y
+    with pytest.raises(ConfigError, match="no native"):
+        strftime_to_java("%_d")
+    with pytest.raises(ConfigError, match="no native"):
+        strftime_to_java("%^b")
+
+
+def test_strftime_unpadded_parses(spark):
+    """The translated unpadded pattern round-trips through a strict
+    Spark to_timestamp — the mistranslation this guards against yielded
+    NULLs in PERMISSIVE mode."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("3/7/2024 9:5:1",)], ["raw"])
+    pattern = strftime_to_java("%-m/%-d/%Y %-H:%-M:%-S")
+    got = df.select(F.to_timestamp("raw", pattern).alias("ts")).first()
+    assert got["ts"] is not None
+    assert got["ts"].isoformat() == "2024-03-07T09:05:01"
+
+
 def test_example_yml_end_to_end(spark, tmp_path):
     """example/example.yml over example/example.csv — the reference's
     flagship example, golden output example/columns.txt."""

@@ -347,14 +347,19 @@ def test_timestamp_type_rejected_in_json_path():
                            "default": "2015-07-13"}])
 
 
-def test_wildcard_tail_rejected_in_both_rule_families():
-    # TestJsonVisitor.java assertDoNotEndsWithArrayWildcard_{AddColumns,
-    # Columns}: a keep or add rule whose path ends with [*] is a config
-    # error in either rule family ("perhaps you can remove the [*]")
+def test_wildcard_tail_rejected_columns():
+    # TestJsonVisitor.java assertDoNotEndsWithArrayWildcard_Columns: a
+    # keep rule whose path ends with [*] is a config error ("perhaps
+    # you can remove the [*]")
     with pytest.raises(ConfigError, match="wrongly ends with"):
         tree(columns=[{"name": "$.json1.b.b[*]"}])
+    # drop rules MAY end with [*] (drop-all-elements fallback)
+    tree(drop_columns=[{"name": "$.json1.b.b[*]"}])
+
+
+def test_wildcard_tail_rejected_add_columns():
+    # TestJsonVisitor.java assertDoNotEndsWithArrayWildcard_AddColumns:
+    # the same rejection for the add_columns rule family
     with pytest.raises(ConfigError, match="wrongly ends with"):
         tree(add_columns=[{"name": "$.json1.b.b[*]",
                            "type": "json", "default": "[]"}])
-    # drop rules MAY end with [*] (drop-all-elements fallback)
-    tree(drop_columns=[{"name": "$.json1.b.b[*]"}])

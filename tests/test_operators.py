@@ -409,3 +409,98 @@ def test_normalize_url(spark):
            .collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_normalize_url_schemeless_passthrough(spark):
+    """Scheme-less inputs pass through unchanged (ADVICE r2): guessing
+    would stamp a bogus '://' prefix onto every non-URL key and corrupt
+    the LWW key space."""
+    from embulk_filter_column_spark.functions.web import normalize_url
+
+    cases = ["example.com/path", "/relative/path", "opaque-key-42",
+             "  spaced.com  "]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(cases)],
+                               ["i", "url"])
+    got = {r["i"]: r["n"]
+           for r in df.select("i", normalize_url("url").alias("n"))
+           .collect()}
+    for i, u in enumerate(cases):
+        assert got[i] == u.strip(), (u, got[i])
+
+
+def test_bucket_pairs_stream_policy_exact(spark):
+    """ngram_jaccard_pairs with a tiny max_bucket_size and the 'stream'
+    policy must return EXACTLY the same pairs as the uncapped run — the
+    oversized buckets' pairs come from the streaming self-join instead
+    of a collected array, trading memory for an extra shuffle, never
+    results."""
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    for i in range(30):
+        rows.append((i, base + (" iota" if i % 2 else "")))
+    rows.append((100, "totally different text about spark engines here"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.8,
+                                   max_bucket_size=None)
+    capped = ngram_jaccard_pairs(df, threshold=0.8, max_bucket_size=4)
+    want = {(r["a"], r["b"], r["jaccard"]) for r in uncapped.collect()}
+    got = {(r["a"], r["b"], r["jaccard"]) for r in capped.collect()}
+    assert want, "fixture must produce pairs"
+    assert got == want
+
+
+def test_bucket_pairs_drop_policy_caps_hot_buckets(spark):
+    """LSH blockers drop oversized buckets BEFORE collecting them: with
+    every doc identical, the single band bucket exceeds the cap and the
+    candidate set is empty — and no giant array was ever aggregated."""
+    df = spark.createDataFrame(
+        [(i, "same text for every single document here") for i in range(20)],
+        ["doc_id", "text"])
+    got = minhash_lsh_candidates(df, max_bucket_size=10)
+    assert got.count() == 0
+    # uncapped finds all C(20,2) pairs
+    assert minhash_lsh_candidates(df, max_bucket_size=None).count() == 190
+
+
+def test_ivf_bucketed_prunes_partitions(spark, tmp_path):
+    """write_ivf_table + ivf_topk_bucketed (VERDICT r2 item 3): the cell
+    IN (probes) predicate must be a PartitionFilter on the scan, the
+    probed directories strictly fewer than the table's cells, and the
+    result identical to the full-scan ivf_topk."""
+    import os
+
+    from embulk_filter_column_spark.operators.similarity import (
+        _ivf_probes,
+        ivf_topk,
+        ivf_topk_bucketed,
+        train_ivf_centroids,
+        write_ivf_table,
+    )
+
+    df = (spark.range(400)
+          .select(F.col("id").alias("vec_id"),
+                  F.transform(
+                      F.sequence(F.lit(1), F.lit(8)),
+                      lambda i: F.sin(i * (F.col("id") + 1) * 0.37))
+                  .alias("embedding")))
+    centroids = train_ivf_centroids(df, n_centroids=8)
+    path = str(tmp_path / "ivf_table")
+    write_ivf_table(df, path, centroids)
+
+    qvec = df.where(F.col("vec_id") == 7).select("embedding") \
+             .first()["embedding"]
+    got = ivf_topk_bucketed(spark, path, qvec, centroids, k=5, nprobe=2)
+    rows = got.collect()
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cell" in pf and " IN " in pf, pf
+    all_cells = {int(d.split("=")[1]) for d in os.listdir(path)
+                 if d.startswith("cell=")}
+    probes = set(_ivf_probes(qvec, centroids, 2))
+    assert len(probes & all_cells) < len(all_cells)
+
+    want = ivf_topk(df, qvec, centroids, k=5, nprobe=2).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
