@@ -483,19 +483,34 @@ class LakeTable:
 
         bucket_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(nbuckets)) \
             .cast("int")
-        # touched buckets + rows_in from ONE aggregation over the batch
-        # KEYS, not from materialized winners: LWW preserves the key set,
-        # so the bucket sets are identical — and this query column-prunes
-        # the batch down to the key (the rule projection's other columns,
-        # including the Arrow json UDF, are pruned away). The winners
-        # pipeline is then consumed by exactly ONE job (the bucket
-        # write), so nothing is persisted/read back through the block
-        # store — on a bandwidth-bound host that double materialization
-        # was the single largest per-batch memory cost.
-        bucket_counts = (src.groupBy(bucket_expr.alias("bucket"))
-                         .count().collect())
-        touched = sorted(r["bucket"] for r in bucket_counts)
-        rows_in = sum(r["count"] for r in bucket_counts)
+        obs_in = None
+        if mode == "delta":
+            # delta commits never read existing buckets, so `touched`
+            # is not needed BEFORE the write — it is derived from the
+            # written bucket directories afterwards, and rows_in rides
+            # an Observation on the batch source. A delta merge is
+            # therefore exactly ONE Spark job per batch (the write) —
+            # the shape a trickle/streaming ingest wants.
+            touched = None
+            rows_in = None
+            obs_in = Observation()
+            src = src.observe(obs_in,
+                              F.count(F.lit(1)).alias("rows_in"))
+        else:
+            # touched buckets + rows_in from ONE aggregation over the
+            # batch KEYS, not from materialized winners: LWW preserves
+            # the key set, so the bucket sets are identical — and this
+            # query column-prunes the batch down to the key (the rule
+            # projection's other columns, including the Arrow json UDF,
+            # are pruned away). The winners pipeline is then consumed by
+            # exactly ONE job (the bucket write), so nothing is
+            # persisted/read back through the block store — on a
+            # bandwidth-bound host that double materialization was the
+            # single largest per-batch memory cost.
+            bucket_counts = (src.groupBy(bucket_expr.alias("bucket"))
+                             .count().collect())
+            touched = sorted(r["bucket"] for r in bucket_counts)
+            rows_in = sum(r["count"] for r in bucket_counts)
 
         if n_salts:
             winners = salted_last_writer_wins(
@@ -531,26 +546,37 @@ class LakeTable:
         new_snap = m["snapshot_id"] + 1
         rel_dir = "data/s%08d" % new_snap
         out_dir = os.path.join(self.path, rel_dir)
+        # cow: one task per touched bucket (winners are bucket-grouped
+        # already). delta: touched is unknown pre-write — hash the small
+        # winner set across the session's parallelism instead
+        n_parts = (max(len(touched), 1) if touched is not None
+                   else self.spark.sparkContext.defaultParallelism)
         (combined
-         .repartition(max(len(touched), 1), "bucket")
+         .repartition(n_parts, "bucket")
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(out_dir))
 
-        # reconcile what was actually written against the `touched` set
-        # computed from the separate key-scan job: a nondeterministic
-        # batch (unstable UDF/source) could place winner rows in buckets
-        # the key scan never saw — silently omitting those directories
-        # from the manifest would be row loss with no error
         written = {
             int(os.path.basename(d).split("=", 1)[1])
             for d in glob.glob(os.path.join(out_dir, "bucket=*"))}
-        unexpected = written - set(touched)
-        if unexpected:
-            raise EngineError(
-                "merge wrote unexpected bucket directories %s (touched "
-                "set was %s): the batch is nondeterministic between "
-                "jobs — aborting before commit so no rows are lost"
-                % (sorted(unexpected), touched))
+        if touched is None:
+            # delta mode: the written directories ARE the touched set
+            touched = sorted(written)
+            rows_in = int(obs_in.get["rows_in"] or 0)
+        else:
+            # reconcile what was actually written against the `touched`
+            # set computed from the separate key-scan job: a
+            # nondeterministic batch (unstable UDF/source) could place
+            # winner rows in buckets the key scan never saw — silently
+            # omitting those directories from the manifest would be row
+            # loss with no error
+            unexpected = written - set(touched)
+            if unexpected:
+                raise EngineError(
+                    "merge wrote unexpected bucket directories %s "
+                    "(touched set was %s): the batch is nondeterministic "
+                    "between jobs — aborting before commit so no rows "
+                    "are lost" % (sorted(unexpected), touched))
 
         new_buckets = dict(m["buckets"])
         cur_schema_id = m["schema_id"]

@@ -27,8 +27,15 @@ class StreamingCDC:
                  checkpoint_path: str, filter_config=None,
                  key: str = "url", order: tuple = ("warc_ts", "seq"),
                  num_buckets: int = 64,
-                 max_files_per_trigger: int | None = None):
+                 max_files_per_trigger: int | None = None,
+                 merge_mode: str = "cow"):
+        """``merge_mode="delta"`` is the natural fit for streaming: a
+        trickle of small micro-batches appends O(batch) delta files per
+        epoch instead of rewriting every touched bucket, with
+        ``table().compact()`` as the maintenance pass (see
+        LakeTable.merge)."""
         self.spark = spark
+        self.merge_mode = merge_mode
         self.wal_path = wal_path
         self.lake_path = lake_path
         self.checkpoint_path = checkpoint_path
@@ -65,7 +72,7 @@ class StreamingCDC:
         lake = self._helper._ensure_lake(out_schema)
         # epoch ids are 0-based and replayed on recovery; the lake skips
         # batch ids it has already committed
-        lake.merge(projected, epoch_id + 1)
+        lake.merge(projected, epoch_id + 1, mode=self.merge_mode)
 
     def run_available_now(self) -> None:
         """Drain everything currently in the WAL, then stop (the

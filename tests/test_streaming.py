@@ -188,3 +188,21 @@ def test_sessionize_event_time_timeout_flushes_tails(spark, tmp_path):
     assert got == {("u1", B + 0, B + 50, 2), ("u2", B + 10, B + 10, 1),
                    ("u2", B + 5000, B + 5000, 1),
                    ("u2", B + 9000, B + 9000, 1)}, got
+
+
+def test_streaming_delta_mode_matches_oracle(spark, wal, tmp_path):
+    """Streaming with merge-on-read delta commits: each micro-batch
+    appends O(batch) delta files; the drained state equals the oracle
+    and compact() folds the deltas without changing it."""
+    job = StreamingCDC(spark, wal, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), num_buckets=8,
+                       max_files_per_trigger=1, merge_mode="delta")
+    job.run_available_now()
+    table = job.table()
+    got = sorted((r["url"], r["text"]) for r in table.read().collect())
+    assert got == oracle_pairs(spark, wal)
+    assert table._has_delta(table.head())
+    table.compact()
+    assert not table._has_delta(table.head())
+    assert sorted((r["url"], r["text"])
+                  for r in table.read().collect()) == got
