@@ -576,6 +576,25 @@ def q_similarity_ivf(spark, sf_dir):
                              k=10, nprobe=2)
 
 
+def q_similarity_knn_join(spark, sf_dir):
+    """Exact batch top-k (many queries at once): the first 3 embedding
+    vectors each retrieve their cosine top-5 over the whole embeddings
+    table via ONE mapInPandas pass (per-partition partial top-k, window
+    trim) — the retrieval shape for hard-negative mining. The oracle is
+    the plain SQL cross-join rank, so the partial-top-k distributed
+    plan is pinned row-for-row."""
+    from embulk_filter_column_spark.operators.similarity import knn_join
+
+    _utc(spark)
+    emb = (_load(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return knn_join(emb, queries, k=5)
+
+
 def q_cdc_sessionize(spark, sf_dir):
     """Per-user event-time sessionization (gap = 1h) over the events
     table — the batch twin of the applyInPandasWithState streaming
@@ -697,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
+        "similarity_knn_join": q_similarity_knn_join,
         "text_extract_html": q_text_extract_html,
         "web_url_normalize": q_web_url_normalize,
         "text_token_counts": q_text_token_counts,
@@ -889,6 +909,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": """
             SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cosine
             FROM embeddings WHERE vec_id % 5 = 0
+        """,
+        "similarity_knn_join": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.qv), 6) AS cosine
+                FROM embeddings e CROSS JOIN q),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rn
+                FROM scored)
+            SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 5
         """,
         "similarity_bruteforce": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

@@ -54,6 +54,7 @@ class CDCPipeline:
         # realistic partition count
         hot_key_share: float = 0.05,
         merge_mode: str = "cow",
+        compact_after_deltas: int | None = None,
         sink=None,
         journal_path: str | None = None,
     ):
@@ -74,8 +75,14 @@ class CDCPipeline:
         self.chunks_per_batch = chunks_per_batch
         # "cow" rewrites touched buckets per batch (large batches);
         # "delta" appends only the batch winners as merge-on-read delta
-        # files (small/trickle batches — see LakeTable.merge docstring)
+        # files (small/trickle batches — see LakeTable.merge docstring).
+        # compact_after_deltas bounds read amplification in delta mode:
+        # after each merge, buckets that accumulated >= N delta files
+        # are folded back to base (driver-side manifest scan picks the
+        # buckets; only those are rewritten) — without it, a long
+        # trickle run degrades every read into an ever-wider LWW union
         self.merge_mode = merge_mode
+        self.compact_after_deltas = compact_after_deltas
         # hot-key skew defense: fan the in-batch LWW out over this many
         # salts (cdc.dedup.salted_last_writer_wins); None = single-stage;
         # "auto" = per-batch sampled-frequency trigger (SURVEY §4): a
@@ -199,6 +206,14 @@ class CDCPipeline:
                 # (IcebergSink MERGE INTO) need not grow a mode knob
                 merge_kwargs["mode"] = self.merge_mode
             result = lake.merge(projected, batch_id, **merge_kwargs)
+            if (self.compact_after_deltas and not result.skipped
+                    and hasattr(lake, "compact")):
+                m = lake.head()
+                over = [int(b) for b, files in m["buckets"].items()
+                        if sum(1 for e in files if e.get("delta"))
+                        >= self.compact_after_deltas]
+                if over:
+                    lake.compact(buckets=over)
             self.journal.record(result, lo, hi, time.monotonic() - t0)
             self.checkpoint.commit(hi, batch_id)
             results.append(result)

@@ -17,6 +17,7 @@ from .similarity import (  # noqa: F401
     ivf_assign,
     ivf_topk,
     ivf_topk_bucketed,
+    knn_join,
     lsh_topk,
     lsh_topk_bucketed,
     train_ivf_centroids,

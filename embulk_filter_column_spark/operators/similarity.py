@@ -213,6 +213,100 @@ def ivf_topk(df: DataFrame, query_vec, centroids, k: int = 10,
             .limit(k))
 
 
+def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id_col: str = "query_id",
+             query_vec_col: str = "embedding",
+             max_queries: int = 100_000) -> DataFrame:
+    """EXACT batch top-k: for every query vector, its cosine top-``k``
+    over the corpus — the many-queries twin of ``brute_force_topk``
+    (embedding retrieval / hard-negative mining run thousands of
+    queries, and one scan per query is the wrong shape).
+
+    Scale design: the query matrix is collected and closed over
+    (bounded by ``max_queries`` — queries are the SMALL side by
+    definition; the corpus side stays unbounded), then ONE
+    ``mapInPandas`` pass computes a (batch × queries) numpy matmul per
+    Arrow batch and keeps a per-partition top-k per query, so the
+    shuffle carries at most partitions × n_queries × k candidate rows
+    — never the corpus. A final window (row_number per query) trims
+    partition winners to the global top-k. Ranking uses the same total
+    order everywhere — (rounded cosine desc, id asc) — which makes the
+    per-partition trim exact, and keeps the output reproducible against
+    a SQL oracle. Null / wrong-dimension corpus vectors are skipped.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = (queries.select(query_id_col, query_vec_col)
+              .limit(max_queries + 1).collect())
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            "knn_join collected more than max_queries=%d query vectors "
+            "— swap the sides (queries must be the small side) or raise "
+            "the bound" % max_queries)
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cosine double")
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True),
+                         1e-12)
+    dim = qm.shape[1]
+    nq = len(qids)
+
+    out_schema = f"{query_id_col} long, {id_col} long, cosine double"
+
+    def _partial(batches):
+        # per-query candidate pools across this partition's batches
+        cand_ids: list = [[] for _ in range(nq)]
+        cand_cos: list = [[] for _ in range(nq)]
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            valid = vecs.map(
+                lambda v: v is not None and len(v) == dim).to_numpy()
+            if not valid.any():
+                continue
+            ids = pdf[id_col].to_numpy()[valid].astype(np.int64)
+            mat = np.array([np.asarray(v, dtype=np.float64)
+                            for v in vecs[valid]])
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = np.round(mat @ qm.T, 6)          # (batch, nq)
+            take = min(k, sims.shape[0])
+            # per query: top-`take` of this batch joins the pool
+            part_idx = np.argpartition(-sims, take - 1, axis=0)[:take]
+            for j in range(nq):
+                idx = part_idx[:, j]
+                cand_ids[j].append(ids[idx])
+                cand_cos[j].append(sims[idx, j])
+        rows_q, rows_i, rows_c = [], [], []
+        for j in range(nq):
+            if not cand_ids[j]:
+                continue
+            ids = np.concatenate(cand_ids[j])
+            cos = np.concatenate(cand_cos[j])
+            # exact trim under the FINAL total order (-cosine, id)
+            order = np.lexsort((ids, -cos))[:k]
+            rows_q.append(np.full(len(order), qids[j]))
+            rows_i.append(ids[order])
+            rows_c.append(cos[order])
+        if not rows_q:
+            return
+        yield pd.DataFrame({
+            query_id_col: np.concatenate(rows_q),
+            id_col: np.concatenate(rows_i),
+            "cosine": np.concatenate(rows_c)})
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        _partial, out_schema)
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.desc("cosine"), F.asc(id_col)))
+    return (partial.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
+
+
 def write_ivf_table(df: DataFrame, path: str, centroids,
                     vec_col: str = "embedding") -> None:
     """Materialize the IVF index layout: the table with its ``cell``

@@ -664,3 +664,40 @@ def test_delta_merge_with_deletes_and_changes(spark, tmp_path):
     ch = lake.changes(s1, s2).collect()
     assert {(r["url"], r["_change_type"]) for r in ch} == \
         {("https://d3.example.com/", "delete")}
+
+
+def test_auto_compaction_bounds_delta_depth(spark, tmp_path):
+    """compact_after_deltas: a trickle run must never let a bucket
+    accumulate more than the threshold's worth of delta files, and the
+    final state still matches the oracle."""
+    from pyspark.sql import functions as F
+
+    n = 3000
+    events = (spark.range(n).select(
+        F.lit("I").alias("op"),
+        F.col("id").alias("seq"),
+        F.concat(F.lit("https://c"), F.pmod(F.col("id"), F.lit(50)),
+                 F.lit(".example.com/")).alias("url"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id"))
+         .alias("warc_ts"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text")))
+    wal_dir = str(tmp_path / "wal")
+    write_wal(events, wal_dir, chunk_rows=300)  # 10 trickle batches
+
+    pipe = CDCPipeline(
+        spark, wal_dir, str(tmp_path / "lake"), str(tmp_path / "cp"),
+        filter_config={"columns": [
+            {"name": "op"}, {"name": "seq"}, {"name": "url"},
+            {"name": "warc_ts"}, {"name": "text"}]},
+        num_buckets=4, chunks_per_batch=1,
+        merge_mode="delta", compact_after_deltas=3)
+    pipe.run()
+
+    m = pipe.table().head()
+    worst = max(sum(1 for e in files if e.get("delta"))
+                for files in m["buckets"].values())
+    assert worst < 3, worst
+
+    want = oracle_state(spark, wal_dir)
+    got = final_pairs(pipe.table().read())
+    assert got == sorted(zip(want["url"], want["text"]))

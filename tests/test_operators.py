@@ -504,3 +504,50 @@ def test_ivf_bucketed_prunes_partitions(spark, tmp_path):
 
     want = ivf_topk(df, qvec, centroids, k=5, nprobe=2).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+
+
+def test_knn_join_exact_vs_per_query_bruteforce(spark):
+    """knn_join's partial-top-k distributed plan must equal running
+    brute_force_topk once per query; null / ragged corpus vectors are
+    skipped, not crashed on."""
+    from embulk_filter_column_spark.operators.similarity import (
+        brute_force_topk,
+        knn_join,
+    )
+
+    corpus = (spark.range(300)
+              .select(F.col("id").alias("vec_id"),
+                      F.when(F.col("id") % 37 == 0, F.lit(None))
+                       .otherwise(F.transform(
+                           F.sequence(F.lit(1), F.lit(8)),
+                           lambda i: F.sin(i * (F.col("id") + 1) * 0.41)))
+                      .alias("embedding")))
+    queries = (corpus.where((F.col("vec_id") % 50 == 1))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = knn_join(corpus, queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["cosine"]))
+    q_rows = queries.collect()
+    assert len(by_q) == len(q_rows) > 0
+    for qr in q_rows:
+        want = [(r["vec_id"], r["cosine"]) for r in
+                brute_force_topk(
+                    corpus.where(F.col("embedding").isNotNull()),
+                    qr["embedding"], k=4).collect()]
+        got_q = sorted(by_q[qr["query_id"]],
+                       key=lambda t: (-t[1], t[0]))
+        assert got_q == want, (qr["query_id"], got_q, want)
+
+
+def test_knn_join_query_bound(spark):
+    from embulk_filter_column_spark.operators.similarity import knn_join
+
+    df = (spark.range(20)
+          .select(F.col("id").alias("vec_id"),
+                  F.transform(F.sequence(F.lit(1), F.lit(4)),
+                              lambda i: i * 1.0).alias("embedding")))
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_join(df, q, k=2, max_queries=5)
