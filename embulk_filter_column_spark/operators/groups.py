@@ -76,9 +76,12 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     count, and near-dup graphs are shallow); hitting the bound raises
     rather than silently returning partial components.
     """
+    # ids keep their input type — the algorithm needs only a total
+    # order (numeric ids, url strings, any orderable key). A cast here
+    # would silently NULL-drop string ids, and urls ARE the id type of
+    # this engine's own dedup pipelines.
     edges = (pairs
-             .select(F.col(a_col).cast("long").alias("u"),
-                     F.col(b_col).cast("long").alias("v"))
+             .select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
              .where(F.col("u").isNotNull() & F.col("v").isNotNull())
              .where(F.col("u") != F.col("v"))
              .distinct())

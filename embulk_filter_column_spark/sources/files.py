@@ -23,6 +23,8 @@ predicate/column pruning intact; nothing passes through Python.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -105,6 +107,29 @@ _CSV_TYPES = {
 }
 
 
+def _strip_header_lines(path: str, skip: int) -> str:
+    """Stream-copy each matched file minus its first ``skip`` lines into
+    a temp dir; returns the new glob root. Constant memory (line-by-line
+    over the preamble, bulk copy after)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    matches = sorted(_glob.glob(path)) if any(
+        ch in path for ch in "*?[") else [path]
+    if not matches:
+        raise ConfigError("no files match %r" % path)
+    out_dir = tempfile.mkdtemp(prefix="efcs_skiphdr_")
+    for i, f in enumerate(matches):
+        dst = os.path.join(out_dir, "%05d_%s" % (i, os.path.basename(f)))
+        with open(f, "rb") as src, open(dst, "wb") as out:
+            for _ in range(skip):
+                if not src.readline():
+                    break
+            shutil.copyfileobj(src, out)
+    return out_dir
+
+
 def read_embulk_file(spark: SparkSession, path: str,
                      parser: dict) -> DataFrame:
     """Read a CSV/TSV/JSONL file the way the reference's `file` input +
@@ -122,10 +147,17 @@ def read_embulk_file(spark: SparkSession, path: str,
         raise ConfigError("parser.columns must be specified")
 
     skip = int(parser.get("skip_header_lines", 0))
-    if skip not in (0, 1):
-        raise ConfigError(
-            "skip_header_lines > 1 is not supported by the distributed "
-            "csv reader (got %d)" % skip)
+    if skip > 1:
+        # Spark's csv reader can only skip ONE header line natively.
+        # Multi-line preambles (the reference skips N lines per file)
+        # are handled by a streamed per-file trim into a temp dir —
+        # O(file) sequential IO once, constant memory, then the
+        # DISTRIBUTED reader takes over on the trimmed copies. The
+        # reference's csv parser is a local-file plugin, so local
+        # staging matches its deployment shape; lake-scale inputs use
+        # the WAL/parquet path, not this reader.
+        path = _strip_header_lines(path, skip)
+        skip = 0
 
     delimiter = parser.get("delimiter", ",")
     delimiter = {"\\t": "\t"}.get(delimiter, delimiter)

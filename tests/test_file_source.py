@@ -182,3 +182,21 @@ def test_jsonl_parser(spark, tmp_path):
                     {"name": "$.meta.k"}]})
     got = {r["id"]: r["meta"] for r in out.collect()}
     assert got == {1: '{"k":1}', 2: '{"k":2}'}
+
+
+def test_skip_header_lines_multi(spark, tmp_path):
+    """skip_header_lines > 1 (reference parity): a 3-line preamble per
+    file is stripped before the distributed csv parse."""
+    for i in (0, 1):
+        p = tmp_path / f"part{i}.csv"
+        p.write_text("# generated file\n# do not edit\ncol headers\n"
+                     f"a{i},1\nb{i},2\n")
+    parser = {
+        "type": "csv",
+        "skip_header_lines": 3,
+        "columns": [{"name": "name", "type": "string"},
+                    {"name": "n", "type": "long"}],
+    }
+    df = read_embulk_file(spark, str(tmp_path / "part*.csv"), parser)
+    rows = sorted((r["name"], r["n"]) for r in df.collect())
+    assert rows == [("a0", 1), ("a1", 1), ("b0", 2), ("b1", 2)]

@@ -80,3 +80,21 @@ def test_dedup_groups_sizes(spark):
     deletes = {r["doc_id"] for r in rows
                if r["doc_id"] != r["canonical_id"]}
     assert deletes == {2, 3, 8}
+
+
+def test_string_ids_supported(spark):
+    """Ids keep their type — url-keyed pair graphs (this engine's own
+    key type) must not be silently cast away."""
+    df = spark.createDataFrame(
+        [("https://a.com/", "https://b.com/"),
+         ("https://b.com/", "https://c.com/"),
+         ("https://x.com/", "https://y.com/")], "a string, b string")
+    rows = connected_components(df).collect()
+    got = {r["doc_id"]: r["canonical_id"] for r in rows}
+    assert got == {
+        "https://a.com/": "https://a.com/",
+        "https://b.com/": "https://a.com/",
+        "https://c.com/": "https://a.com/",
+        "https://x.com/": "https://x.com/",
+        "https://y.com/": "https://x.com/",
+    }
