@@ -195,6 +195,7 @@ BENCH_QUERIES = (
     "similarity_bruteforce",
     "similarity_lsh",
     "similarity_ivf",
+    "similarity_knn_join",
     "text_extract_html",
     "text_token_counts",
     "text_quality",
