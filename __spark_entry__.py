@@ -595,6 +595,54 @@ def q_similarity_knn_join(spark, sf_dir):
     return knn_join(emb, queries, k=5)
 
 
+# PII planted onto every document — id-dependent email/IP so redaction
+# can't pass by luck, plus fixed SSN/phone shapes (mirrored in SQL)
+_PII_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
+    F.col("text"),
+    F.lit(" contact user"), F.col("doc_id").cast("string"),
+    F.lit("@example.com ip 10.0.0."),
+    F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+    F.lit(" ssn 123-45-6789 call +1 (555) 123-4567"))
+
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "' ssn 123-45-6789 call +1 (555) 123-4567'")
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrubbing — the standard pre-training redaction pass: plant
+    emails/IPs/SSNs/phones into every document, redact with the native
+    regexp_replace chain, oracle against the DuckDB twin built from the
+    same PII_PATTERNS list."""
+    from embulk_filter_column_spark.functions.text import redact_pii
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    planted = d.select("doc_id", _PII_SUFFIX_SPARK().alias("text"))
+    return planted.select(
+        "doc_id", redact_pii("text").alias("redacted"))
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (dup-line fraction, top-word
+    share, mean word length, symbol ratio) — native HOFs, one
+    projection, SQL-twinned."""
+    from embulk_filter_column_spark.functions.text import (
+        repetition_metrics,
+    )
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    m = repetition_metrics("text").alias("m")
+    return (d.select("doc_id", m)
+            .select("doc_id",
+                    F.round("m.dup_line_frac", 6).alias("dup_line_frac"),
+                    F.round("m.top_word_frac", 6).alias("top_word_frac"),
+                    F.round("m.mean_word_len", 6).alias("mean_word_len"),
+                    F.round("m.symbol_ratio", 6).alias("symbol_ratio")))
+
+
 def q_cdc_sessionize(spark, sf_dir):
     """Per-user event-time sessionization (gap = 1h) over the events
     table — the batch twin of the applyInPandasWithState streaming
@@ -717,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "similarity_knn_join": q_similarity_knn_join,
+        "text_pii_redact": q_text_pii_redact,
+        "text_repetition": q_text_repetition,
         "text_extract_html": q_text_extract_html,
         "web_url_normalize": q_web_url_normalize,
         "text_token_counts": q_text_token_counts,
@@ -727,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from embulk_filter_column_spark.functions.text import redact_pii_sql
     from embulk_filter_column_spark.functions.web import (
         extract_text_sql,
         normalize_url_sql,
@@ -935,6 +986,46 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "text_pii_redact": f"""
+            SELECT doc_id,
+                   {redact_pii_sql(_PII_SUFFIX_SQL)} AS redacted
+            FROM documents
+        """,
+        "text_repetition": f"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> trim(x) <> '') AS lines,
+                       {_TOKS_SQL.format(c='text')} AS t
+                FROM documents),
+            stats AS (
+                SELECT doc_id,
+                       CASE WHEN len(lines) > 0 THEN
+                           1.0 - len(list_distinct(lines)) / len(lines)
+                       END AS dup_line_frac,
+                       CASE WHEN len(t) > 0 THEN
+                           list_max(list_transform(list_distinct(t),
+                               d -> len(list_filter(t, x -> x = d))))
+                           / len(t)
+                       END AS top_word_frac,
+                       CASE WHEN len(t) > 0 THEN
+                           list_sum(list_transform(t, x -> length(x)))
+                           / len(t)
+                       END AS mean_word_len,
+                       CASE WHEN length(text) > 0 THEN
+                           length(regexp_replace(text,
+                               '[A-Za-z0-9\s]', '', 'g'))
+                           / length(text)
+                       END AS symbol_ratio
+                FROM base
+                WHERE text IS NOT NULL AND trim(text) <> '')
+            SELECT doc_id,
+                   round(dup_line_frac, 6) AS dup_line_frac,
+                   round(top_word_frac, 6) AS top_word_frac,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio
+            FROM stats
         """,
         "text_token_counts": f"""
             SELECT doc_id,

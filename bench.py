@@ -197,6 +197,8 @@ BENCH_QUERIES = (
     "similarity_ivf",
     "similarity_knn_join",
     "text_extract_html",
+    "text_pii_redact",
+    "text_repetition",
     "text_token_counts",
     "text_quality",
     "text_lang_id",

@@ -610,6 +610,32 @@ class LakeTable:
             tombstones=int(stats2.get("tombstones") or 0),
             buckets_touched=len(touched))
 
+    def rollback(self, snapshot_id: int) -> int:
+        """Roll the table back to a retained snapshot (the Iceberg
+        ``rollback_to_snapshot`` analog): commits a NEW snapshot whose
+        buckets/schema/batch-id are copied from the target, so history
+        stays linear and expire_snapshots keeps working. Because the
+        committed batch id rolls back too, a checkpoint-driven pipeline
+        re-applies everything after the rollback point on its next run
+        — the recovery story for a bad deploy that merged garbage
+        batches: rollback, reset the pipeline checkpoint, re-run — the
+        idempotent batch-id skip fast-forwards through everything at or
+        before the rollback point and re-applies the rest. Data files
+        are not touched (the target snapshot's files are still
+        referenced; expire_snapshots reclaims the rolled-back ones
+        later)."""
+        target = self.manifest(snapshot_id)
+        m = self.head()
+        if snapshot_id == m["snapshot_id"]:
+            return snapshot_id
+        m2 = dict(target)
+        m2["snapshot_id"] = m["snapshot_id"] + 1
+        m2["parent"] = m["snapshot_id"]
+        self._write_manifest(m2)
+        self._commit_head(m2["snapshot_id"],
+                          expected_parent=m["snapshot_id"])
+        return m2["snapshot_id"]
+
     def compact(self, buckets=None) -> int:
         """Fold delta files back into a single base file set per bucket
         (the maintenance half of ``merge(mode="delta")`` — the analog of

@@ -123,3 +123,85 @@ def word_ngrams(col, n: int = 3) -> Column:
     # let-binding via single-element transform: evaluate toks0 once per
     # row and bind it for the shingle construction
     return F.element_at(F.transform(F.array(toks0), _build), 1)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+
+# (pattern, replacement) applied IN ORDER — email before phone so the
+# digits in a mailbox name can't be phone-matched first; SSN before
+# generic phone for the same reason. Patterns use only constructs
+# shared by Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+# backreferences.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # deliberately unambiguous shape (+CC (AAA) BBB-NNNN variants): a
+    # single possible parse keeps Java's backtracking matcher and
+    # RE2's leftmost-longest matcher byte-identical on the same input
+    (r"\+\d{1,3}[ -]\(?\d{3}\)?[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(col) -> Column:
+    """Scrub common PII shapes (emails, SSNs, IPv4s, phone numbers)
+    from a text column — the standard pre-training redaction pass.
+    Pure native ``regexp_replace`` chain (one codegen'd projection,
+    zero Python); ``redact_pii_sql`` is the ANSI twin so the operator
+    is oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB twin of redact_pii (kept in lockstep via PII_PATTERNS).
+    DuckDB single-quoted literals are backslash-verbatim, so the regex
+    goes in as-is — only quotes need escaping."""
+    out = expr
+    for pat, repl in PII_PATTERNS:
+        out = "regexp_replace(%s, '%s', '%s', 'g')" % (
+            out, pat.replace("'", "''"), repl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality rules)
+
+
+def repetition_metrics(col) -> Column:
+    """Struct of Gopher-style repetition statistics over a text column:
+
+    * ``dup_line_frac``  — 1 − distinct/total over newline-split lines
+    * ``top_word_frac``  — share of the most frequent token
+    * ``mean_word_len``  — mean token length
+    * ``symbol_ratio``   — non-alphanumeric, non-space chars per char
+
+    All native higher-order functions, one projection, no Python. The
+    top-word scan is O(distinct × tokens) per row — fine for documents
+    (hundreds of tokens); the SQL twin mirrors it exactly. NULL/empty
+    text yields NULL metrics (not zeros — absence, not cleanliness)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    toks = tokens(F.lower(c))
+    dist = F.array_distinct(toks)
+    counts = F.transform(
+        dist, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    n_toks = F.size(toks)
+    n_chars = F.length(c)
+    symbols = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    metrics = F.struct(
+        F.when(F.size(lines) > 0,
+               1.0 - F.size(F.array_distinct(lines)) / F.size(lines))
+         .alias("dup_line_frac"),
+        F.when(n_toks > 0, F.array_max(counts) / n_toks)
+         .alias("top_word_frac"),
+        F.when(n_toks > 0,
+               F.aggregate(toks, F.lit(0).cast("long"),
+                           lambda acc, t: acc + F.length(t)) / n_toks)
+         .alias("mean_word_len"),
+        F.when(n_chars > 0, symbols / n_chars).alias("symbol_ratio"),
+    )
+    return F.when(c.isNotNull() & (F.trim(c) != ""), metrics)

@@ -551,3 +551,47 @@ def test_knn_join_query_bound(spark):
     q = df.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="max_queries"):
         knn_join(df, q, k=2, max_queries=5)
+
+
+def test_redact_pii(spark):
+    from embulk_filter_column_spark.functions.text import redact_pii
+
+    cases = [
+        ("mail me at john.doe+x@sub.example.co.uk please",
+         "mail me at <EMAIL> please"),
+        ("ssn 123-45-6789 and server 192.168.0.1 up",
+         "ssn <SSN> and server <IP> up"),
+        ("call +1 (555) 123-4567 or +44 20 7946 0958x",
+         "call <PHONE> or +44 20 7946 0958x"),
+        ("no pii here 12345", "no pii here 12345"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)],
+                               ["i", "t"])
+    got = {r["i"]: r["r"] for r in
+           df.select("i", redact_pii("t").alias("r")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_repetition_metrics(spark):
+    from embulk_filter_column_spark.functions.text import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"),                  # top word 3/4, mean len 1
+         (2, "x\nx\ny\n"),               # dup line frac 1/3
+         (3, "@@ ab"),                    # symbols 2/5
+         (4, None), (5, "   ")],
+        ["i", "t"])
+    got = {r["i"]: r["m"] for r in
+           df.select("i", repetition_metrics("t").alias("m")).collect()}
+    m1 = got[1]
+    assert abs(m1["top_word_frac"] - 0.75) < 1e-9
+    assert abs(m1["mean_word_len"] - 1.0) < 1e-9
+    assert abs(m1["dup_line_frac"] - 0.0) < 1e-9
+    m2 = got[2]
+    assert abs(m2["dup_line_frac"] - (1 - 2 / 3)) < 1e-9
+    m3 = got[3]
+    assert abs(m3["symbol_ratio"] - 2 / 5) < 1e-9
+    assert got[4] is None and got[5] is None
