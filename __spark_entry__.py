@@ -643,6 +643,21 @@ def q_text_repetition(spark, sf_dir):
                     F.round("m.symbol_ratio", 6).alias("symbol_ratio")))
 
 
+def q_text_pack(spark, sf_dir):
+    """Sequence packing (LLM batch assembly): documents in id order →
+    contiguous ~512-token bins via the DISTRIBUTED two-phase cumsum
+    (range partitions + broadcast prefix offsets — no single-partition
+    window). Oracle = DuckDB's single-node window cumsum, so the
+    two-phase plan is pinned row-for-row."""
+    from embulk_filter_column_spark.operators.packing import (
+        pack_documents,
+    )
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    return pack_documents(d, target_tokens=512)
+
+
 def q_cdc_sessionize(spark, sf_dir):
     """Per-user event-time sessionization (gap = 1h) over the events
     table — the batch twin of the applyInPandasWithState streaming
@@ -766,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "similarity_knn_join": q_similarity_knn_join,
         "text_pii_redact": q_text_pii_redact,
+        "text_pack": q_text_pack,
         "text_repetition": q_text_repetition,
         "text_extract_html": q_text_extract_html,
         "web_url_normalize": q_web_url_normalize,
@@ -991,6 +1007,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    {redact_pii_sql(_PII_SUFFIX_SQL)} AS redacted
             FROM documents
+        """,
+        "text_pack": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len({_TOKS_SQL.format(c='text')}) AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cs
+                FROM t)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(floor((cs - n_tokens) / 512.0) AS BIGINT)
+                       AS bin_id
+            FROM c
         """,
         "text_repetition": f"""
             WITH base AS (

@@ -199,6 +199,7 @@ BENCH_QUERIES = (
     "text_extract_html",
     "text_pii_redact",
     "text_repetition",
+    "text_pack",
     "text_token_counts",
     "text_quality",
     "text_lang_id",

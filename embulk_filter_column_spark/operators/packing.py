@@ -1,0 +1,75 @@
+"""Sequence packing for LLM training batches: assign documents (in a
+deterministic order) to contiguous token bins of ``target_tokens``.
+
+The natural formulation is a running sum over the whole corpus — which
+in naive Spark is a single-partition window, a non-starter at 10^10
+rows. Here the cumulative sum is the standard TWO-PHASE distributed
+form:
+
+1. ``repartitionByRange(id)`` gives globally ordered partitions
+   (ascending ranges land in ascending partition ids);
+2. per-partition token totals are aggregated (one tiny O(partitions)
+   collect) and turned into broadcast prefix offsets;
+3. each partition computes its LOCAL running sum in parallel and adds
+   its offset — every stage is distributed, the only driver state is
+   one number per partition.
+
+A document belongs to the bin its FIRST token falls into
+(``bin_id = (cumsum_before_doc) // target``) — the streaming-packing
+approximation (bins can overflow by at most one document; no document
+is split). Deterministic given the order column, and expressible as a
+plain SQL window — so the distributed two-phase plan is
+oracle-checkable against DuckDB's single-node cumsum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+
+
+def pack_documents(df: DataFrame, target_tokens: int = 2048,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Returns ``(id_col, n_tokens, bin_id)`` — one row per input row,
+    ``bin_id`` the token-bin the document starts in when documents are
+    laid out in ``id_col`` order. Whitespace token counts
+    (``functions.text.token_count``); null/empty text counts 0 tokens
+    and stays in sequence."""
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
+    base = df.select(F.col(id_col),
+                     F.coalesce(token_count(text_col), F.lit(0))
+                      .alias("n_tokens"))
+    parts = (base.repartitionByRange(F.col(id_col))
+             .withColumn("_pid", F.spark_partition_id()))
+    # the offsets job and the window job must see the IDENTICAL
+    # partitioning — range boundaries come from sampling, so pin them
+    # by materializing the narrow (id, n_tokens, pid) frame once
+    # (~16 B/row; the price of a deterministic two-phase cumsum)
+    parts = parts.localCheckpoint(eager=True)
+    totals = sorted(
+        (r["_pid"], r["_s"])
+        for r in parts.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_s")).collect())
+    offsets, acc = [], 0
+    for pid, s in totals:
+        offsets.append((pid, acc))
+        acc += int(s or 0)
+    if not offsets:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_tokens long, bin_id long")
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _off long")
+    w = (Window.partitionBy("_pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = parts.withColumn("_local", F.sum("n_tokens").over(w))
+    out = (local.join(F.broadcast(off_df), "_pid")
+           .withColumn("_cum", F.col("_off") + F.col("_local"))
+           .select(id_col, "n_tokens",
+                   F.floor((F.col("_cum") - F.col("n_tokens"))
+                           / F.lit(float(target_tokens)))
+                    .cast("long").alias("bin_id")))
+    return out

@@ -595,3 +595,35 @@ def test_repetition_metrics(spark):
     m3 = got[3]
     assert abs(m3["symbol_ratio"] - 2 / 5) < 1e-9
     assert got[4] is None and got[5] is None
+
+
+def test_pack_documents_two_phase_cumsum(spark):
+    """Distributed two-phase packing must equal the single-node greedy
+    layout regardless of partitioning."""
+    from embulk_filter_column_spark.operators.packing import (
+        pack_documents,
+    )
+
+    rows = [(i, " ".join(["w"] * (7 + (i * 13) % 40))) for i in range(200)]
+    rows[50] = (50, None)           # null text → 0 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(7)
+    got = {r["doc_id"]: (r["n_tokens"], r["bin_id"])
+           for r in pack_documents(df, target_tokens=100).collect()}
+    # single-node reference
+    cum = 0
+    for i in range(200):
+        n = 0 if rows[i][1] is None else len(rows[i][1].split())
+        want_bin = cum // 100
+        assert got[i] == (n, want_bin), (i, got[i], (n, want_bin))
+        cum += n
+
+
+def test_pack_documents_empty_and_bad_target(spark):
+    from embulk_filter_column_spark.operators.packing import (
+        pack_documents,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_documents(empty).count() == 0
+    with pytest.raises(ValueError, match="target_tokens"):
+        pack_documents(empty, target_tokens=0)
