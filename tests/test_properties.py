@@ -160,3 +160,42 @@ def test_prop_scalar_filter_vs_python_model(spark, data):
         vals.append(add_default)
         want.append(tuple(vals))
     assert sorted(got, key=str) == sorted(want, key=str), (cfg, rows)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=0, max_size=60))
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: large-star/small-star labels equal a plain union-find
+    on arbitrary random graphs (self-loops, duplicates, any density)."""
+    from embulk_filter_column_spark.operators.groups import (
+        connected_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            union(a, b)
+            nodes |= {a, b}
+    want = {n: find(n) for n in nodes}
+    # canonical = component MIN: path-halving keeps roots minimal since
+    # union always parents the larger root under the smaller
+    df = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in connected_components(df).collect()}
+    assert got == want
