@@ -459,6 +459,27 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental corpus dedup (FingerprintIndex): the planted corpus
+    is replayed as two sequential batches — originals, then the
+    jittered duplicates — against a persistent bucketed fingerprint
+    index. Batch 2's dups are all rejected by the index lookup (not an
+    in-batch groupBy), so the survivors equal global first-seen-per-
+    fingerprint: min(doc_id) per normalized text, plain SQL."""
+    from embulk_filter_column_spark.operators.incremental import (
+        FingerprintIndex,
+    )
+
+    _utc(spark)
+    docs = _docs_with_dups(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_graft_fpidx_")
+    idx = FingerprintIndex(spark, f"{base}/idx", num_buckets=16)
+    out1 = idx.dedup_and_update(docs.where(F.col("doc_id") < 1000000))
+    out2 = idx.dedup_and_update(docs.where(F.col("doc_id") >= 1000000))
+    return (out1.select("doc_id")
+            .unionByName(out2.select("doc_id")))
+
+
 def q_dedup_embedding(spark, sf_dir):
     _utc(spark)
     return embedding_near_dup_pairs(_embeddings_with_dups(spark, sf_dir),
@@ -772,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_embedding": q_dedup_embedding,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -928,6 +950,11 @@ def oracle_sql() -> dict[str, str]:
         # the exact Jaccard similarity join — also the oracle for the
         # LSH-blocked + verified variants (their output is the same exact
         # join; only the candidate-pruning strategy differs)
+        "dedup_incremental": f"""
+            WITH all_docs AS ({_DOCS_DUPS_SQL})
+            SELECT min(doc_id) AS doc_id FROM all_docs
+            GROUP BY {_NORM_SQL.format(c='text')}
+        """,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         "dedup_simhash_pairs": _JACCARD_PAIRS_SQL,

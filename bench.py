@@ -191,6 +191,7 @@ BENCH_QUERIES = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_groups",
+    "dedup_incremental",
     "dedup_embedding",
     "similarity_bruteforce",
     "similarity_lsh",

@@ -2,6 +2,7 @@ from .groups import (  # noqa: F401
     connected_components,
     dedup_groups,
 )
+from .incremental import FingerprintIndex  # noqa: F401
 from .packing import pack_documents  # noqa: F401
 from .dedup import (  # noqa: F401
     embedding_near_dup_pairs,

@@ -627,3 +627,41 @@ def test_pack_documents_empty_and_bad_target(spark):
     assert pack_documents(empty).count() == 0
     with pytest.raises(ValueError, match="target_tokens"):
         pack_documents(empty, target_tokens=0)
+
+
+def test_fingerprint_index_incremental_dedup(spark, tmp_path):
+    """FingerprintIndex: batch 2's duplicates of batch-1 docs (even
+    case/punct-jittered) are rejected; genuinely new docs accepted; the
+    returned frame stays stable after the index update (the decision is
+    pinned before the append)."""
+    from embulk_filter_column_spark.operators.incremental import (
+        FingerprintIndex,
+    )
+
+    idx = FingerprintIndex(spark, str(tmp_path / "fpidx"), num_buckets=8)
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lazy dogs sleep all day"),
+         (3, "the quick brown fox")],          # in-batch dup of 1
+        ["doc_id", "text"])
+    got1 = sorted(r["doc_id"] for r in
+                  idx.dedup_and_update(b1).collect())
+    assert got1 == [1, 2]
+
+    b2 = spark.createDataFrame(
+        [(10, "THE QUICK BROWN FOX!!"),        # jittered dup of 1
+         (11, "totally new content here"),
+         (12, "lazy dogs sleep all day")],      # dup of 2
+        ["doc_id", "text"])
+    out2 = idx.dedup_and_update(b2)
+    got2 = sorted(r["doc_id"] for r in out2.collect())
+    assert got2 == [11]
+    # stable on re-read (decision pinned before the index append)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11]
+
+    # a third batch still sees everything indexed so far
+    b3 = spark.createDataFrame(
+        [(20, "totally new content here"), (21, "brand new again")],
+        ["doc_id", "text"])
+    got3 = sorted(r["doc_id"] for r in
+                  idx.dedup_and_update(b3).collect())
+    assert got3 == [21]
