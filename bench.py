@@ -9,9 +9,14 @@ metric), and prints ONE JSON line::
      "queries": {...}, "sf": 0.1, "cdc_events_per_sec": N, ...}
 
 Scaling mode (``python bench.py --scaling``): runs the identical CDC
-replay job in two subprocesses at local[8] and local[32] and reports
-events/sec at both plus efficiency = (T32/T8)/4 — the sandbox stand-in
-for the north rule's N→4N-executor criterion (BASELINE.md §scaling).
+replay job in two subprocesses at N and 4N cores (default local[2] vs
+local[8] — the widest pair below this host's memory-bandwidth wall,
+see BASELINE.md §scaling) and reports events/sec at both levels, all
+runs, and best/mean efficiency — the sandbox stand-in for the north
+rule's N→4N-executor criterion. Knobs: SPARK_GRAFT_SCALING_CORES,
+SPARK_GRAFT_SCALING_MODE=projection, SPARK_GRAFT_MERGE_MODE=delta,
+SPARK_GRAFT_MASTER_MODE=cluster (real executor JVMs),
+SPARK_GRAFT_SCALING_RUNS.
 """
 
 from __future__ import annotations
@@ -296,7 +301,7 @@ def run_scaling() -> None:
     n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
     lo, hi = (int(x) for x in os.environ.get(
-        "SPARK_GRAFT_SCALING_CORES", "8,32").split(","))
+        "SPARK_GRAFT_SCALING_CORES", "2,8").split(","))
     results = {}
     runs = {}
     for cores in (lo, hi):
