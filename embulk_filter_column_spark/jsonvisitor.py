@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 
-from .config import ColumnRule, FilterConfig
+from .config import FilterConfig
 from .defaults import default_as_json_value
 from .errors import ConfigError
 from .jsonpath import (

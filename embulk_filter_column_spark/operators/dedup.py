@@ -29,7 +29,7 @@ them oracle-checkable against a plain SQL Jaccard join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, tokens, word_ngrams

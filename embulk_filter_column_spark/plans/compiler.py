@@ -26,9 +26,9 @@ from pyspark.sql import types as T
 from ..config import FilterConfig
 from ..defaults import find_default
 from ..errors import ConfigError
-from ..jsonpath import escape_property, is_probably_json_path
+from ..jsonpath import escape_property
 from ..jsonvisitor import JsonRuleTree, to_json_str
-from ..schema import JSON_META_KEY, build_output_schema, engine_type_of
+from ..schema import build_output_schema, engine_type_of
 
 
 def _get_src(name: str, rules: list) -> str | None:
