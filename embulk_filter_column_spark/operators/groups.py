@@ -92,11 +92,16 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     edges = edges.localCheckpoint(eager=True)
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # converged ⇔ the canonical edge sets are identical; both frames
-        # are distinct canonical (larger, smaller) pairs at this point,
-        # so a count + anti-join emptiness check decides equality
-        if (nxt.count() == edges.count()
-                and nxt.join(edges, ["u", "v"], "left_anti").isEmpty()):
+        # converged ⇔ the canonical edge sets are identical. Both sides
+        # are DISTINCT canonical (larger, smaller) pairs, so their
+        # symmetric difference is exactly the union-all rows whose
+        # (u, v) count is 1 — ONE action per round (a count+anti-join
+        # pair costs two driver round trips, and per-job overhead
+        # dominates late rounds where the edge set is tiny)
+        sym = (nxt.unionAll(edges).groupBy("u", "v")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") == 1))
+        if sym.isEmpty():
             edges = nxt
             break
         edges = nxt
