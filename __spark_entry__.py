@@ -631,6 +631,71 @@ _PII_SUFFIX_SQL = (
     "' ssn 123-45-6789 call +1 (555) 123-4567'")
 
 
+def q_similarity_ivf_knn(spark, sf_dir):
+    """ANN-accelerated BATCH retrieval over the production IVF layout
+    (VERDICT r3 item 2): 3 query vectors, each with 9 planted parallel
+    copies in the corpus (same cell by construction, cosine exactly
+    1.0), retrieved in one ivf_knn_join pass — the scan reads only the
+    union of the queries' probed cell directories (partition prune,
+    pinned by pytest), each Arrow batch is scored only against the
+    queries probing its cell. Top-10 per query = the query vector
+    itself + its 9 plants — enumerable in SQL."""
+    from embulk_filter_column_spark.operators.similarity import (
+        ivf_knn_join,
+        write_ivf_table,
+    )
+
+    _utc(spark)
+    e = (_load(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>")
+                 .alias("embedding")))
+    plants = (e.where(F.col("vec_id") < 3)
+              .select(F.col("vec_id").alias("q"), "embedding")
+              .select("q",
+                      F.explode(F.sequence(F.lit(1), F.lit(9)))
+                       .alias("i"),
+                      "embedding")
+              .select((F.lit(2000000) + F.col("q") * 100 + F.col("i"))
+                      .alias("vec_id"),
+                      F.transform("embedding", lambda x: x * 1.001)
+                       .alias("embedding")))
+    corpus = e.unionByName(plants)
+    centroids = train_ivf_centroids(corpus, n_centroids=16)
+    base = tempfile.mkdtemp(prefix="spark_graft_ivfknn_")
+    write_ivf_table(corpus, f"{base}/ivf", centroids)
+    queries = (e.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_knn_join(spark, f"{base}/ivf", queries, centroids,
+                        k=10, nprobe=2)
+
+
+# eval set for decontamination: jittered copies of every 10th document
+# (normalize-identical → overlap 1.0) — mirrored verbatim in the oracle
+_EVAL_SET_SQL = """
+    SELECT doc_id + 500000 AS doc_id, upper(text) || ' !!' AS text
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def q_text_decontaminate(spark, sf_dir):
+    """Train/test decontamination (VERDICT r3 item 3): flag training
+    docs whose shingle overlap with any eval doc reaches the threshold.
+    Eval set = case/punct-jittered copies of every 10th doc (planted
+    contamination at overlap 1.0); organic trigram overlaps below/above
+    the threshold are computed identically by the SQL twin, so the
+    broadcast-inverted-index plan is pinned row-for-row."""
+    from embulk_filter_column_spark.operators import decontaminate
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    eval_df = (d.where(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 500000).alias("doc_id"),
+                       F.concat(F.upper(F.col("text")), F.lit(" !!"))
+                        .alias("text")))
+    return decontaminate(d, eval_df, shingle_n=3, threshold=0.5)
+
+
 def q_text_pii_redact(spark, sf_dir):
     """PII scrubbing — the standard pre-training redaction pass: plant
     emails/IPs/SSNs/phones into every document, redact with the native
@@ -802,6 +867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "similarity_knn_join": q_similarity_knn_join,
+        "similarity_ivf_knn": q_similarity_ivf_knn,
+        "text_decontaminate": q_text_decontaminate,
         "text_pii_redact": q_text_pii_redact,
         "text_pack": q_text_pack,
         "text_repetition": q_text_repetition,
@@ -1019,6 +1086,71 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cosine DESC, vec_id ASC) AS rn
                 FROM scored)
             SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 5
+        """,
+        # planted-neighbor construction: per query q ∈ {0,1,2}, the
+        # top-10 is the query vector itself + its 9 parallel plants
+        # (all cosine exactly 1.0; organic corpus vectors can't round
+        # to 1.0) — same recipe as similarity_ivf / similarity_lsh
+        "similarity_ivf_knn": """
+            SELECT CAST(q AS BIGINT) AS query_id,
+                   CAST(q AS BIGINT) AS vec_id, 1.0 AS cosine
+            FROM range(3) t(q)
+            UNION ALL
+            SELECT CAST(q AS BIGINT),
+                   CAST(2000000 + q * 100 + i AS BIGINT), 1.0
+            FROM range(3) t(q) CROSS JOIN range(1, 10) s(i)
+        """,
+        "text_decontaminate": f"""
+            WITH ev AS ({_EVAL_SET_SQL}),
+            tr_tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           trim(regexp_replace(lower(text),
+                                '[^a-z0-9\\s]+', ' ', 'g')), '\\s+'),
+                           x -> x <> '') AS t
+                FROM documents),
+            ev_tok AS (
+                SELECT doc_id AS eval_id,
+                       list_filter(string_split_regex(
+                           trim(regexp_replace(lower(text),
+                                '[^a-z0-9\\s]+', ' ', 'g')), '\\s+'),
+                           x -> x <> '') AS t
+                FROM ev),
+            tr_sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3 THEN list_distinct(
+                                [array_to_string(t[i+1:i+3], ' ')
+                                 FOR i IN range(len(t) - 2)])
+                            WHEN len(t) > 0 THEN
+                                [array_to_string(t, ' ')]
+                            ELSE [] END AS sh
+                FROM tr_tok),
+            ev_sh AS (
+                SELECT eval_id,
+                       CASE WHEN len(t) >= 3 THEN list_distinct(
+                                [array_to_string(t[i+1:i+3], ' ')
+                                 FOR i IN range(len(t) - 2)])
+                            WHEN len(t) > 0 THEN
+                                [array_to_string(t, ' ')]
+                            ELSE [] END AS sh
+                FROM ev_tok),
+            tr_inv AS (SELECT doc_id, len(sh) AS n,
+                              unnest(sh) AS shingle FROM tr_sh),
+            ev_inv AS (SELECT eval_id, unnest(sh) AS shingle
+                       FROM ev_sh),
+            hits AS (
+                SELECT tr_inv.doc_id, ev_inv.eval_id,
+                       count(*) AS i, min(tr_inv.n) AS n
+                FROM tr_inv JOIN ev_inv
+                  ON tr_inv.shingle = ev_inv.shingle
+                GROUP BY 1, 2),
+            ranked AS (
+                SELECT doc_id, eval_id, i / n AS overlap,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY i / n DESC, eval_id ASC) AS rn
+                FROM hits)
+            SELECT doc_id, eval_id, round(overlap, 6) AS overlap
+            FROM ranked WHERE rn = 1 AND overlap >= 0.5
         """,
         "similarity_bruteforce": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

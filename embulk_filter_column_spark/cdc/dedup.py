@@ -63,13 +63,17 @@ def hot_keys(df: DataFrame, key: str = "url", fraction: float = 0.01,
              min_share: float = 0.001, seed: int = 42) -> list:
     """Sampled hot-key detection: keys whose share of a ``fraction``
     sample exceeds ``min_share`` (the salting trigger — SURVEY.md §4).
-    One tiny job over the sample; at 10^10 events a 1% sample's group
-    count is still executor-side until the final top slice."""
+    ONE job over the sample: the per-key counts and the sample total
+    come out of the same aggregation (the total is a broadcast
+    single-row cross join over the grouped counts, so the sample is
+    scanned once); at 10^10 events a 1% sample's group count is still
+    executor-side until the final filtered collect."""
     sample = df.sample(fraction=fraction, seed=seed)
     counts = sample.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
-    total = sample.count()
-    if total == 0:
-        return []
-    thresh = max(int(total * min_share), 1)
-    return [r[0] for r in
-            counts.where(F.col("n") >= thresh).collect()]
+    total = counts.agg(F.sum("n").alias("_total"))
+    hot = (counts.crossJoin(F.broadcast(total))
+           .where(F.col("n") >= F.greatest(
+               (F.col("_total") * F.lit(min_share)).cast("long"),
+               F.lit(1)))
+           .select(key))
+    return [r[0] for r in hot.collect()]

@@ -2,6 +2,7 @@ from .groups import (  # noqa: F401
     connected_components,
     dedup_groups,
 )
+from .decontaminate import decontaminate  # noqa: F401
 from .incremental import FingerprintIndex  # noqa: F401
 from .packing import pack_documents  # noqa: F401
 from .dedup import (  # noqa: F401
@@ -17,6 +18,7 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
     ivf_assign,
+    ivf_knn_join,
     ivf_topk,
     ivf_topk_bucketed,
     knn_join,

@@ -1,0 +1,72 @@
+"""Train/test decontamination — the standard pre-training hygiene
+pass: flag training documents whose n-gram shingles overlap an
+evaluation set, so benchmark answers don't leak into the corpus
+(GPT-3/PaLM-style n-gram decontamination; VERDICT r3 item 3).
+
+Semantics: for a training doc T and an eval doc E, ``overlap(T, E) =
+|shingles(T) ∩ shingles(E)| / |shingles(T)|`` — the fraction of the
+TRAINING doc's distinct word n-grams that appear in that eval doc
+(shingling = the same normalized ``word_ngrams`` the whole dedup
+family uses, so case/punctuation jitter can't hide contamination). A
+doc is contaminated when its best-matching eval doc reaches
+``threshold``; the output reports that eval doc (ties broken by min
+eval id) and the overlap fraction.
+
+Scale design (10^10 train docs × 10^3..10^5 eval docs):
+
+* the EVAL side is the small side by definition — its exploded
+  (shingle, eval_id) inverted index is broadcast, so the training
+  corpus streams through a broadcast-hash join with no train-side
+  shuffle on the raw shingles;
+* the per-(train, eval) intersection count is an ordinary map-side-
+  combining aggregation — the only shuffle carries matched (train_id,
+  eval_id) pairs, never the corpus;
+* the default ``shingle_n=13`` is the published decontamination
+  setting and keeps cross-doc shingle collisions (the fan-out of the
+  join) near zero on real text: a 13-gram shared by chance is
+  vanishingly rare, so the join output is ~|true contamination|. Short
+  synthetic corpora should pass a smaller n explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _shingle_docs
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  eval_text_col: str | None = None,
+                  eval_id_col: str | None = None,
+                  shingle_n: int = 13,
+                  threshold: float = 0.8) -> DataFrame:
+    """Returns ``(doc_id, eval_id, overlap)`` — one row per CONTAMINATED
+    training doc (best-matching eval doc's overlap ≥ ``threshold``;
+    ties on overlap resolve to the smallest eval id). Training docs
+    with no qualifying eval match are absent — the clean set is the
+    anti-join of the input against this result."""
+    eval_text_col = eval_text_col or text_col
+    eval_id_col = eval_id_col or id_col
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    tr = _shingle_docs(train, text_col, id_col, shingle_n)
+    ev = _shingle_docs(eval_df, eval_text_col, eval_id_col, shingle_n)
+    ev_inv = (ev.select(F.col(eval_id_col).alias("eval_id"),
+                        F.explode("sh").alias("shingle")))
+    tr_inv = (tr.select(F.col(id_col), F.col("n"),
+                        F.explode("sh").alias("shingle")))
+    hits = (tr_inv.join(F.broadcast(ev_inv), "shingle")
+            .groupBy(id_col, "eval_id")
+            .agg(F.count(F.lit(1)).alias("_i"),
+                 F.min("n").alias("_n")))
+    scored = hits.withColumn("overlap", F.col("_i") / F.col("_n"))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.desc("overlap"), F.asc("eval_id")))
+    return (scored
+            .withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1)
+                   & (F.col("overlap") >= threshold))
+            .select(id_col, "eval_id",
+                    F.round("overlap", 6).alias("overlap")))

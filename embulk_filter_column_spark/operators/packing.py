@@ -32,17 +32,24 @@ from ..functions.text import token_count
 
 def pack_documents(df: DataFrame, target_tokens: int = 2048,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   n_tokens_col: str | None = None) -> DataFrame:
     """Returns ``(id_col, n_tokens, bin_id)`` — one row per input row,
     ``bin_id`` the token-bin the document starts in when documents are
-    laid out in ``id_col`` order. Whitespace token counts
-    (``functions.text.token_count``); null/empty text counts 0 tokens
-    and stays in sequence."""
+    laid out in ``id_col`` order.
+
+    Token counts: whitespace counts by default
+    (``functions.text.token_count``), or pass ``n_tokens_col`` naming a
+    PRECOMPUTED per-document count column — the seam for a real BPE
+    tokenizer upstream (tokenize once with your production tokenizer,
+    pack on its counts; the engine never needs to ship one). Null /
+    missing counts pack as 0 tokens and stay in sequence."""
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
+    counts = (F.col(n_tokens_col).cast("long") if n_tokens_col
+              else token_count(text_col))
     base = df.select(F.col(id_col),
-                     F.coalesce(token_count(text_col), F.lit(0))
-                      .alias("n_tokens"))
+                     F.coalesce(counts, F.lit(0)).alias("n_tokens"))
     parts = (base.repartitionByRange(F.col(id_col))
              .withColumn("_pid", F.spark_partition_id()))
     # the offsets job and the window job must see the IDENTICAL
@@ -59,8 +66,13 @@ def pack_documents(df: DataFrame, target_tokens: int = 2048,
         offsets.append((pid, acc))
         acc += int(s or 0)
     if not offsets:
+        # empty-input schema must agree with the non-empty path —
+        # including a non-long id column (string doc ids are first-class
+        # elsewhere, e.g. groups.py), so derive the id type from the
+        # input instead of hardcoding long (ADVICE r3)
+        id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, n_tokens long, bin_id long")
+            [], f"{id_col} {id_type}, n_tokens long, bin_id long")
     off_df = df.sparkSession.createDataFrame(
         offsets, "_pid int, _off long")
     w = (Window.partitionBy("_pid").orderBy(id_col)

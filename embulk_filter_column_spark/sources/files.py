@@ -8,8 +8,9 @@ half of a reference pipeline, so a user's existing config
 Supported parser options (reference: embulk-parser-csv used by every
 example/ config): ``columns`` (name/type/format), ``delimiter``,
 ``quote``, ``escape``, ``null_string``, ``comment_line_marker``,
-``skip_header_lines`` (0 or 1 — Spark's csv reader skips one header per
-FILE; deeper skips would need a text pre-pass), ``charset``,
+``skip_header_lines`` (any N — 0/1 map to Spark's native per-file
+header skip; N > 1 trims each file's first N lines with a streamed
+per-file text pre-pass), ``charset``,
 ``newline`` (informational — Spark auto-detects line endings).
 
 Type mapping: long→bigint, double, string, boolean, timestamp (parsed

@@ -665,3 +665,226 @@ def test_fingerprint_index_incremental_dedup(spark, tmp_path):
     got3 = sorted(r["doc_id"] for r in
                   idx.dedup_and_update(b3).collect())
     assert got3 == [21]
+
+
+def test_simhash_stream_policy_exact_on_clustered_sigs(spark):
+    """simhash_near_dup_pairs documents total recall, so a degenerate
+    signature cluster (every doc near-identical → shared band values,
+    bucket over the cap) must STREAM its pairs, not drop them (ADVICE
+    r3): a tiny cap returns exactly the uncapped pair set."""
+    from embulk_filter_column_spark.operators import (
+        simhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same text in every single document here") for i in range(16)]
+        + [(100, "completely unrelated web page about spark")],
+        ["doc_id", "text"])
+    want = {(r["a"], r["b"]) for r in
+            simhash_near_dup_pairs(df, max_bucket_size=None).collect()}
+    got = {(r["a"], r["b"]) for r in
+           simhash_near_dup_pairs(df, max_bucket_size=3).collect()}
+    assert want == {(a, b) for a in range(16) for b in range(16) if a < b}
+    assert got == want
+
+
+def test_fingerprint_index_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract (ADVICE r3): replaying a journaled batch_id
+    returns the RECORDED survivors instead of anti-joining the batch
+    against its own fingerprints (which silently returned zero
+    survivors before the journal existed)."""
+    from embulk_filter_column_spark.operators.incremental import (
+        FingerprintIndex,
+    )
+
+    idx = FingerprintIndex(spark, str(tmp_path / "fpidx"), num_buckets=4)
+    b1 = spark.createDataFrame(
+        [(1, "first doc text"), (2, "second doc text")],
+        ["doc_id", "text"])
+    got1 = sorted(r["doc_id"] for r in
+                  idx.dedup_and_update(b1, batch_id="b1").collect())
+    assert got1 == [1, 2]
+    # replay after a simulated downstream crash: same survivors, NOT []
+    replay = sorted(r["doc_id"] for r in
+                    idx.dedup_and_update(b1, batch_id="b1").collect())
+    assert replay == [1, 2]
+    # the index still holds the fingerprints: a later batch deduplicates
+    b2 = spark.createDataFrame(
+        [(10, "first doc text"), (11, "brand new text")],
+        ["doc_id", "text"])
+    got2 = sorted(r["doc_id"] for r in
+                  idx.dedup_and_update(b2, batch_id="b2").collect())
+    assert got2 == [11]
+    # interrupted index append: journal committed but marker missing →
+    # replay completes the append (possible duplicate fingerprint rows
+    # are harmless for anti-join semantics) and still returns survivors
+    import os
+
+    os.remove(idx._indexed_marker("b2"))
+    replay2 = sorted(r["doc_id"] for r in
+                     idx.dedup_and_update(b2, batch_id="b2").collect())
+    assert replay2 == [11]
+    assert os.path.exists(idx._indexed_marker("b2"))
+
+
+def test_knn_join_chunked_and_string_ids(spark):
+    """knn_join with a chunk_bytes small enough to force multiple query
+    chunks must equal the single-chunk run; string ids on both sides
+    are carried opaquely (no int64 cast — ADVICE r3)."""
+    from embulk_filter_column_spark.operators.similarity import knn_join
+
+    corpus = (spark.range(60)
+              .select(F.concat(F.lit("doc-"),
+                               F.lpad(F.col("id").cast("string"), 3, "0"))
+                      .alias("vec_id"),
+                      F.transform(F.sequence(F.lit(1), F.lit(6)),
+                                  lambda i: F.sin(i * (F.col("id") + 1)
+                                                  * 0.37))
+                      .alias("embedding")))
+    queries = (spark.range(5)
+               .select(F.concat(F.lit("q"), F.col("id").cast("string"))
+                       .alias("query_id"),
+                       F.transform(F.sequence(F.lit(1), F.lit(6)),
+                                   lambda i: F.cos(i * (F.col("id") + 1)
+                                                   * 0.53))
+                       .alias("embedding")))
+    one = knn_join(corpus, queries, k=3).collect()
+    # 6 doubles/query = 48 bytes; chunk_bytes=100 → 2 queries per chunk
+    many = knn_join(corpus, queries, k=3, chunk_bytes=100).collect()
+    key = lambda r: (r["query_id"], r["vec_id"])  # noqa: E731
+    assert sorted(map(tuple, many)) == sorted(map(tuple, one))
+    assert len(one) == 15
+    assert all(isinstance(r["vec_id"], str) for r in one)
+    # byte bound: 5 queries × 6 dims × 8 B = 240 B > 100 B cap
+    with pytest.raises(ValueError, match="max_query_bytes"):
+        knn_join(corpus, queries, k=3, max_query_bytes=100)
+
+
+def test_pack_documents_precomputed_counts_and_string_ids(spark):
+    """pack_documents(n_tokens_col=...) bins by the caller's precomputed
+    (BPE) counts; the empty-input schema follows the input id type
+    instead of hardcoding long (ADVICE r3)."""
+    from embulk_filter_column_spark.operators.packing import (
+        pack_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i:03d}", "ignored text", 40 + i % 3) for i in range(30)],
+        ["doc_id", "text", "bpe_count"])
+    got = {r["doc_id"]: (r["n_tokens"], r["bin_id"])
+           for r in pack_documents(df, target_tokens=100,
+                                   n_tokens_col="bpe_count").collect()}
+    cum = 0
+    for i in range(30):
+        n = 40 + i % 3
+        assert got[f"u{i:03d}"] == (n, cum // 100)
+        cum += n
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    out = pack_documents(empty)
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"
+
+
+def test_ivf_knn_join_prunes_and_matches_per_query_probe(spark, tmp_path):
+    """ivf_knn_join (VERDICT r3 item 2): batch ANN retrieval over the
+    write_ivf_table layout. The scan must carry a cell IN (...)
+    PartitionFilter covering only the union of the queries' probed
+    cells, and each query's result must equal its one-off
+    ivf_topk_bucketed search (same probes, same total order)."""
+    from embulk_filter_column_spark.operators.similarity import (
+        ivf_knn_join,
+        ivf_topk_bucketed,
+        train_ivf_centroids,
+        write_ivf_table,
+    )
+
+    df = (spark.range(400)
+          .select(F.col("id").alias("vec_id"),
+                  F.transform(
+                      F.sequence(F.lit(1), F.lit(8)),
+                      lambda i: F.sin(i * (F.col("id") + 1) * 0.37))
+                  .alias("embedding")))
+    centroids = train_ivf_centroids(df, n_centroids=8)
+    path = str(tmp_path / "ivf_table")
+    write_ivf_table(df, path, centroids)
+
+    queries = (df.where(F.col("vec_id").isin(3, 77, 151))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = ivf_knn_join(spark, path, queries, centroids, k=5, nprobe=2)
+    rows = got.collect()
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cell" in pf and " IN " in pf, pf
+
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["cosine"]))
+    assert set(by_q) == {3, 77, 151}
+    for qr in queries.collect():
+        want = [(r["vec_id"], r["cosine"]) for r in
+                ivf_topk_bucketed(spark, path, qr["embedding"],
+                                  centroids, k=5, nprobe=2).collect()]
+        got_q = sorted(by_q[qr["query_id"]], key=lambda t: (-t[1], t[0]))
+        assert got_q == want, (qr["query_id"], got_q, want)
+
+
+def test_ivf_knn_join_chunked_matches_single(spark, tmp_path):
+    from embulk_filter_column_spark.operators.similarity import (
+        ivf_knn_join,
+        train_ivf_centroids,
+        write_ivf_table,
+    )
+
+    df = (spark.range(200)
+          .select(F.col("id").alias("vec_id"),
+                  F.transform(
+                      F.sequence(F.lit(1), F.lit(6)),
+                      lambda i: F.cos(i * (F.col("id") + 1) * 0.29))
+                  .alias("embedding")))
+    centroids = train_ivf_centroids(df, n_centroids=6)
+    path = str(tmp_path / "ivf_table")
+    write_ivf_table(df, path, centroids)
+    queries = (df.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    one = ivf_knn_join(spark, path, queries, centroids, k=3, nprobe=2)
+    many = ivf_knn_join(spark, path, queries, centroids, k=3, nprobe=2,
+                        chunk_bytes=100)
+    assert sorted(map(tuple, many.collect())) == \
+        sorted(map(tuple, one.collect()))
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """decontaminate (VERDICT r3 item 3): a training doc sharing enough
+    shingles with ANY eval doc is flagged with its best-matching eval
+    id and exact overlap fraction; clean docs are absent; ties resolve
+    to the smallest eval id."""
+    from embulk_filter_column_spark.operators import decontaminate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [(1, base),                                    # exact leak
+         (2, base + " extra words appended here now"), # partial leak
+         (3, "completely unrelated training text about spark"),
+         (4, "ALPHA beta GAMMA delta epsilon zeta eta theta iota kappa"),
+         ],                                            # jittered leak
+        ["doc_id", "text"])
+    eval_df = spark.createDataFrame(
+        [(100, base), (101, base)],   # duplicate eval docs → tie
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["eval_id"], r["overlap"])
+           for r in decontaminate(train, eval_df, shingle_n=3,
+                                  threshold=0.5).collect()}
+    # doc 1/4 normalize to base: 8 trigrams, all in eval → 1.0, tie→100
+    assert got[1] == (100, 1.0)
+    assert got[4] == (100, 1.0)
+    # doc 2: 15 tokens → 13 distinct trigrams, 8 shared → 8/13
+    assert got[2] == (100, round(8 / 13, 6))
+    assert 3 not in got
+    # raising the threshold drops the partial leak
+    high = {r["doc_id"] for r in
+            decontaminate(train, eval_df, shingle_n=3,
+                          threshold=0.9).collect()}
+    assert high == {1, 4}
