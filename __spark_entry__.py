@@ -696,6 +696,48 @@ def q_text_decontaminate(spark, sf_dir):
     return decontaminate(d, eval_df, shingle_n=3, threshold=0.5)
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (hash-derived uniform,
+    layout-independent — a repartitioned rerun yields the same split,
+    which Bernoulli sample() can't promise). Weights 0.75/0.125/0.125
+    are binary-exact so the cumulative boundaries are bit-identical
+    literals on both engines."""
+    from embulk_filter_column_spark.operators import split_corpus
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    return split_corpus(d, {"train": 0.75, "val": 0.125, "test": 0.125},
+                        seed=7).select("doc_id", "split")
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Global pre-training shuffle: reproducible pseudorandom order via
+    the md5 unit hash; the orderBy compiles to a range-partitioned
+    distributed sort. The sort key is emitted so the order is pinned by
+    the oracle (the driver compare is order-insensitive, so the KEY is
+    the checkable artifact)."""
+    from embulk_filter_column_spark.operators import shuffle_corpus
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    return shuffle_corpus(d, seed=42).select("doc_id", "shuffle_key")
+
+
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Mixture weighting: per-language sampling rates (en halved, de
+    kept, everything else quartered) with exact deterministic
+    membership — the corpus-rebalancing stage before packing."""
+    from embulk_filter_column_spark.operators import (
+        sample_corpus_stratified,
+    )
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    return sample_corpus_stratified(
+        d, "lang", {"en": 0.5, "de": 1.0}, seed=13,
+        default_fraction=0.25).select("doc_id", "lang")
+
+
 def q_text_pii_redact(spark, sf_dir):
     """PII scrubbing — the standard pre-training redaction pass: plant
     emails/IPs/SSNs/phones into every document, redact with the native
@@ -869,6 +911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_knn_join": q_similarity_knn_join,
         "similarity_ivf_knn": q_similarity_ivf_knn,
         "text_decontaminate": q_text_decontaminate,
+        "corpus_split": q_corpus_split,
+        "corpus_shuffle": q_corpus_shuffle,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
         "text_pii_redact": q_text_pii_redact,
         "text_pack": q_text_pack,
         "text_repetition": q_text_repetition,
@@ -883,6 +928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from embulk_filter_column_spark.functions.text import redact_pii_sql
+    from embulk_filter_column_spark.operators.sampling import (
+        unit_hash_sql,
+    )
     from embulk_filter_column_spark.functions.web import (
         extract_text_sql,
         normalize_url_sql,
@@ -1151,6 +1199,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM hits)
             SELECT doc_id, eval_id, round(overlap, 6) AS overlap
             FROM ranked WHERE rn = 1 AND overlap >= 0.5
+        """,
+        "corpus_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {unit_hash_sql('doc_id', 7)} < 0.75
+                            THEN 'train'
+                        WHEN {unit_hash_sql('doc_id', 7)} < 0.875
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "corpus_shuffle": f"""
+            SELECT doc_id,
+                   {unit_hash_sql('doc_id', 42)} AS shuffle_key
+            FROM documents
+        """,
+        "corpus_sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {unit_hash_sql('doc_id', 13)} <
+                  CASE WHEN lang = 'en' THEN 0.5
+                       WHEN lang = 'de' THEN 1.0
+                       ELSE 0.25 END
         """,
         "similarity_bruteforce": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

@@ -204,6 +204,7 @@ BENCH_QUERIES = (
     "similarity_knn_join",
     "similarity_ivf_knn",
     "text_decontaminate",
+    "corpus_shuffle",
     "text_extract_html",
     "text_pii_redact",
     "text_repetition",

@@ -5,6 +5,12 @@ from .groups import (  # noqa: F401
 from .decontaminate import decontaminate  # noqa: F401
 from .incremental import FingerprintIndex  # noqa: F401
 from .packing import pack_documents  # noqa: F401
+from .sampling import (  # noqa: F401
+    sample_corpus_stratified,
+    shuffle_corpus,
+    split_corpus,
+    unit_hash,
+)
 from .dedup import (  # noqa: F401
     embedding_near_dup_pairs,
     exact_dedup,

@@ -1,0 +1,118 @@
+"""Corpus management for training pipelines: deterministic splits,
+global shuffle, stratified mixture sampling.
+
+All three are driven by one HASH-derived uniform, not by Spark's
+sample()/sampleBy(): Bernoulli sampling is seeded per-partition, so
+its membership changes whenever the input's partitioning changes — a
+repartitioned rerun of a 10^10-row corpus would silently produce a
+different train set. The hash unit ``u(id) = int(md5(id || '#' ||
+seed)[:8hex]) / 2^32`` depends only on the row's id and the seed:
+membership is reproducible across runs, layouts, and engines (md5 is
+bit-identical in Spark and DuckDB, which is what makes every operator
+here oracle-checkable in plain SQL — xxhash64 exists only on the
+Spark side).
+
+* ``split_corpus`` — train/val/test assignment by cumulative weight
+  boundaries over u(id). Pure projection: no shuffle, no state; a doc
+  keeps its split forever, new docs land proportionally.
+* ``shuffle_corpus`` — the pre-training global shuffle: order by
+  (u(id), id). Spark executes the orderBy as a range-partitioned
+  distributed sort (sampled boundaries, no single-partition stage);
+  downstream writers preserve the order per partition file.
+* ``sample_corpus_stratified`` — mixture weighting: keep a row iff
+  u(id) < fraction(stratum) — exact deterministic per-stratum rates
+  for up/down-weighting sources or languages. Pure filter; Catalyst
+  pushes it into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 8 hex chars → [0, 2^32); dividing maps to [0, 1) exactly in a double
+_UNIT_DENOM = float(1 << 32)
+
+
+def unit_hash(col, seed: int = 42) -> F.Column:
+    """Uniform [0, 1) derived from md5(id || '#' || seed) — layout- and
+    engine-independent. SQL twin: ``unit_hash_sql``."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(
+        F.md5(F.concat(c.cast("string"), F.lit(f"#{seed}"))), 1, 8),
+        16, 10).cast("long")
+    return h / F.lit(_UNIT_DENOM)
+
+
+def unit_hash_sql(expr: str, seed: int = 42) -> str:
+    """DuckDB twin of ``unit_hash`` (bit-identical md5, same hex slice,
+    same 2^32 divisor)."""
+    return ("CAST(('0x' || substring(md5(CAST(%s AS VARCHAR) || '#%d'),"
+            " 1, 8)) AS BIGINT) / 4294967296.0" % (expr, seed))
+
+
+def split_corpus(df: DataFrame, weights: dict | None = None,
+                 id_col: str = "doc_id", seed: int = 42,
+                 split_col: str = "split") -> DataFrame:
+    """Append ``split_col`` assigning each row to a named split with
+    probability proportional to its weight (weights are normalized).
+    Deterministic in (id, seed) only — stable across reruns,
+    repartitions, and incremental corpus growth."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = unit_hash(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        clause = F.when(u < F.lit(acc), F.lit(name))
+        expr = clause if expr is None else expr.when(u < F.lit(acc),
+                                                    F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def shuffle_corpus(df: DataFrame, id_col: str = "doc_id",
+                   seed: int = 42,
+                   key_col: str = "shuffle_key") -> DataFrame:
+    """Globally shuffle the corpus into a reproducible pseudorandom
+    order: sort by (u(id), id). The orderBy compiles to a
+    range-partitioned distributed sort — sampled range boundaries, all
+    partitions sort in parallel, no single-partition window. The sort
+    key is kept as ``key_col`` so the order is auditable (and
+    oracle-checkable) downstream."""
+    out = df.withColumn(key_col, unit_hash(id_col, seed))
+    return out.orderBy(F.col(key_col), F.col(id_col))
+
+
+def sample_corpus_stratified(df: DataFrame, strata_col: str,
+                             fractions: dict,
+                             id_col: str = "doc_id", seed: int = 42,
+                             default_fraction: float = 0.0
+                             ) -> DataFrame:
+    """Keep each row iff u(id) < fraction(stratum) — exact
+    deterministic per-stratum sampling for mixture weighting
+    (up/down-weight sources, languages, quality tiers). Strata absent
+    from ``fractions`` keep ``default_fraction``. Unlike
+    ``df.sampleBy``, membership is independent of partitioning and
+    reproducible across engines."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    u = unit_hash(id_col, seed)
+    frac = None
+    for k, v in fractions.items():
+        clause = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v)))
+        frac = clause if frac is None else frac.when(
+            F.col(strata_col) == F.lit(k), F.lit(float(v)))
+    frac = (F.lit(float(default_fraction)) if frac is None
+            else frac.otherwise(F.lit(float(default_fraction))))
+    return df.where(u < frac)

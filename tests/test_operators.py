@@ -888,3 +888,70 @@ def test_decontaminate_flags_planted_overlap(spark):
             decontaminate(train, eval_df, shingle_n=3,
                           threshold=0.9).collect()}
     assert high == {1, 4}
+
+
+def test_split_corpus_layout_independent_and_proportional(spark):
+    """split_corpus must assign by (id, seed) only: identical splits
+    under different partitioning (the property Bernoulli sample()
+    lacks), roughly proportional at size, and exhaustive/exclusive."""
+    from embulk_filter_column_spark.operators import split_corpus
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"]
+         for r in split_corpus(df, w, seed=5).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_corpus(df.repartition(13), w, seed=5).collect()}
+    assert a == b
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.02
+    assert abs(counts["test"] / 4000 - 0.1) < 0.02
+    # different seed → different assignment
+    c = {r["doc_id"]: r["split"]
+         for r in split_corpus(df, w, seed=6).collect()}
+    assert a != c
+    with pytest.raises(ValueError):
+        split_corpus(df, {"a": -0.1, "b": 1.1})
+
+
+def test_shuffle_corpus_is_deterministic_permutation(spark):
+    from embulk_filter_column_spark.operators import shuffle_corpus
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    got = shuffle_corpus(df, seed=3).collect()
+    ids = [r["doc_id"] for r in got]
+    keys = [r["shuffle_key"] for r in got]
+    assert sorted(ids) == list(range(500))          # permutation
+    assert keys == sorted(keys)                     # key-ordered
+    assert all(0.0 <= k < 1.0 for k in keys)
+    assert ids != list(range(500))                  # actually shuffled
+    again = [r["doc_id"] for r in
+             shuffle_corpus(df.repartition(7), seed=3).collect()]
+    assert again == ids                             # layout-independent
+
+
+def test_sample_corpus_stratified_exact_membership(spark):
+    from embulk_filter_column_spark.operators import (
+        sample_corpus_stratified,
+        unit_hash,
+    )
+
+    df = (spark.range(2000)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") % 3 == 0, "en")
+                   .when(F.col("id") % 3 == 1, "de")
+                   .otherwise("fr").alias("lang")))
+    got = {r["doc_id"] for r in sample_corpus_stratified(
+        df, "lang", {"en": 0.5, "de": 1.0}, seed=9,
+        default_fraction=0.0).collect()}
+    u = {r["doc_id"]: r["u"] for r in
+         df.select("doc_id", unit_hash("doc_id", 9).alias("u")).collect()}
+    want = {i for i in range(2000)
+            if (i % 3 == 0 and u[i] < 0.5) or i % 3 == 1}
+    assert got == want
+    assert all(i % 3 != 2 for i in got)             # default 0 drops fr
+    with pytest.raises(ValueError):
+        sample_corpus_stratified(df, "lang", {"en": 1.5})
