@@ -30,6 +30,7 @@ from .similarity import (  # noqa: F401
     knn_join,
     lsh_topk,
     lsh_topk_bucketed,
+    topk_recall,
     train_ivf_centroids,
     write_bucketed_embeddings,
     write_ivf_table,

@@ -357,6 +357,30 @@ def _knn_partial_fn(qids, qm, dim: int, k: int, vec_col: str,
     return _partial
 
 
+def topk_recall(approx: DataFrame, exact: DataFrame,
+                query_id_col: str = "query_id",
+                id_col: str = "vec_id") -> DataFrame:
+    """Per-query recall of an approximate top-k result against the
+    exact one: ``|approx ∩ exact| / |exact|`` over retrieved ids — the
+    metric that decides an ANN index's ``nprobe``/``probe_bits``
+    setting before a 10^10-row rollout (measure on a query sample with
+    ``knn_join`` as the exact side, pick the cheapest config above the
+    recall target). Queries present only in ``exact`` score 0.0; both
+    inputs are (query, id) frames of size queries × k, so every join
+    here is small regardless of corpus size."""
+    ex = exact.select(F.col(query_id_col), F.col(id_col))
+    ap = approx.select(F.col(query_id_col), F.col(id_col))
+    hits = (ex.join(ap, [query_id_col, id_col], "left_semi")
+            .groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).alias("_hit")))
+    totals = (ex.groupBy(query_id_col)
+              .agg(F.count(F.lit(1)).alias("_n")))
+    return (totals.join(hits, query_id_col, "left")
+            .select(query_id_col,
+                    F.round(F.coalesce(F.col("_hit"), F.lit(0))
+                            / F.col("_n"), 6).alias("recall")))
+
+
 def write_ivf_table(df: DataFrame, path: str, centroids,
                     vec_col: str = "embedding") -> None:
     """Materialize the IVF index layout: the table with its ``cell``

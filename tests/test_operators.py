@@ -955,3 +955,41 @@ def test_sample_corpus_stratified_exact_membership(spark):
     assert all(i % 3 != 2 for i in got)             # default 0 drops fr
     with pytest.raises(ValueError):
         sample_corpus_stratified(df, "lang", {"en": 1.5})
+
+
+def test_topk_recall_measures_ann_quality(spark, tmp_path):
+    """topk_recall: exact-vs-exact is 1.0 everywhere; an IVF search at
+    nprobe=1 scores ≤ 1.0 with per-query granularity; queries missing
+    from the approx side score 0.0."""
+    from embulk_filter_column_spark.operators.similarity import (
+        ivf_knn_join,
+        knn_join,
+        topk_recall,
+        train_ivf_centroids,
+        write_ivf_table,
+    )
+
+    corpus = (spark.range(300)
+              .select(F.col("id").alias("vec_id"),
+                      F.transform(F.sequence(F.lit(1), F.lit(8)),
+                                  lambda i: F.sin(i * (F.col("id") + 1)
+                                                  * 0.41))
+                      .alias("embedding")))
+    queries = (corpus.where(F.col("vec_id") < 6)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = knn_join(corpus, queries, k=5)
+    r = topk_recall(exact, exact).collect()
+    assert len(r) == 6 and all(x["recall"] == 1.0 for x in r)
+
+    centroids = train_ivf_centroids(corpus, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_table(corpus, path, centroids)
+    approx = ivf_knn_join(spark, path, queries, centroids, k=5, nprobe=1)
+    r2 = {x["query_id"]: x["recall"]
+          for x in topk_recall(approx, exact).collect()}
+    assert set(r2) == set(range(6))
+    assert all(0.0 <= v <= 1.0 for v in r2.values())
+    # a query with no approx rows at all scores 0, not NULL
+    r3 = {x["query_id"]: x["recall"] for x in topk_recall(
+        approx.where(F.col("query_id") != 2), exact).collect()}
+    assert r3[2] == 0.0
