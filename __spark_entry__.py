@@ -696,6 +696,25 @@ def q_text_decontaminate(spark, sf_dir):
     return decontaminate(d, eval_df, shingle_n=3, threshold=0.5)
 
 
+def q_text_dedup_lines(spark, sf_dir):
+    """C4-style corpus-level line dedup: a boilerplate line planted
+    into EVERY doc (corpus count ≥ 3 → removed everywhere) plus a
+    per-doc unique ref line (kept); natural line repetitions across
+    documents are handled identically by the SQL twin, so the
+    md5-keyed count/anti-join/reassemble plan is pinned byte-for-byte
+    on the rebuilt text."""
+    from embulk_filter_column_spark.operators import dedup_corpus_lines
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit("\nsubscribe to our newsletter\nref "),
+                 F.col("doc_id").cast("string")).alias("text"))
+    return dedup_corpus_lines(planted, min_count=3)
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment (hash-derived uniform,
     layout-independent — a repartitioned rerun yields the same split,
@@ -911,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_knn_join": q_similarity_knn_join,
         "similarity_ivf_knn": q_similarity_ivf_knn,
         "text_decontaminate": q_text_decontaminate,
+        "text_dedup_lines": q_text_dedup_lines,
         "corpus_split": q_corpus_split,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -1199,6 +1219,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM hits)
             SELECT doc_id, eval_id, round(overlap, 6) AS overlap
             FROM ranked WHERE rn = 1 AND overlap >= 0.5
+        """,
+        "text_dedup_lines": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || chr(10) || 'subscribe to our newsletter'
+                       || chr(10) || 'ref ' || CAST(doc_id AS VARCHAR)
+                           AS text
+                FROM documents),
+            sp AS (SELECT doc_id, string_split(text, chr(10)) AS l
+                   FROM planted),
+            flat AS (
+                SELECT doc_id, u.pos AS pos, u.ln AS ln
+                FROM (SELECT doc_id,
+                             unnest([{'pos': i, 'ln': l[i+1]}
+                                    FOR i IN range(len(l))]) AS u
+                      FROM sp)),
+            common AS (
+                SELECT md5(ln) AS h FROM flat WHERE trim(ln) <> ''
+                GROUP BY 1 HAVING count(*) >= 3),
+            kept AS (
+                SELECT doc_id, pos, ln FROM flat
+                WHERE md5(ln) NOT IN (SELECT h FROM common)),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(ln, chr(10) ORDER BY pos)
+                           AS text_clean
+                FROM kept GROUP BY doc_id)
+            SELECT p.doc_id, coalesce(a.text_clean, '') AS text_clean
+            FROM planted p LEFT JOIN agg a USING (doc_id)
         """,
         "corpus_split": f"""
             SELECT doc_id,

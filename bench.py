@@ -205,6 +205,7 @@ BENCH_QUERIES = (
     "similarity_ivf_knn",
     "text_decontaminate",
     "corpus_shuffle",
+    "text_dedup_lines",
     "text_extract_html",
     "text_pii_redact",
     "text_repetition",

@@ -12,6 +12,7 @@ from .sampling import (  # noqa: F401
     unit_hash,
 )
 from .dedup import (  # noqa: F401
+    dedup_corpus_lines,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_candidates,

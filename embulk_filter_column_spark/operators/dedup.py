@@ -92,6 +92,55 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
               .select(*df.columns, "fingerprint", "dup_count"))
 
 
+def dedup_corpus_lines(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_count: int = 2,
+                       out_col: str = "text_clean") -> DataFrame:
+    """Corpus-level LINE deduplication (the C4-style boilerplate pass):
+    remove every non-blank line whose exact text occurs in ≥
+    ``min_count`` line instances across the WHOLE corpus — navigation
+    chrome, cookie banners, boilerplate footers — while blank lines
+    (paragraph structure) always survive. Returns one row per input
+    doc: ``(id_col, out_col)`` with the surviving lines rejoined in
+    original order (docs whose lines are all removed yield ``''``;
+    NULL text stays NULL).
+
+    Scale design: lines are keyed by ``md5(line)`` — 128 bits, so
+    collisions stay negligible at 10^13 corpus lines where a 64-bit
+    key would already be merging distinct lines — and the count
+    aggregation is map-side combining on that fixed-width key (a
+    corpus-wide boilerplate line collapses to one row per task before
+    the shuffle; no line-instance list ever materializes). Common
+    lines stream out via a left-anti join on the same key, and the
+    reassembly groupBy ships (pos, line) pairs — one shuffle each, all
+    keyed, no skew beyond the count agg's combiner."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("_pos", "_ln"))
+             .withColumn("_h", F.md5(F.col("_ln"))))
+    common = (lines.where(F.trim(F.col("_ln")) != "")
+              .groupBy("_h")
+              .agg(F.count(F.lit(1)).alias("_n"))
+              .where(F.col("_n") >= min_count)
+              .select("_h"))
+    kept = lines.join(common, "_h", "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("_pos", "_ln"))),
+        lambda s: s["_ln"])
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.concat_ws("\n", ordered).alias(out_col)))
+    # one row per input doc: fully-deduped docs come back as '', NULL
+    # text (whose split produced no line rows) stays NULL
+    base = df.select(F.col(id_col), F.col(text_col).alias("_orig"))
+    return (base.join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.when(F.col("_orig").isNull(), F.lit(None))
+                     .otherwise(F.coalesce(F.col(out_col), F.lit("")))
+                     .alias(out_col)))
+
+
 # ---------------------------------------------------------------------------
 # bucket → pair generation (shared by every LSH blocker)
 

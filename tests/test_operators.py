@@ -993,3 +993,46 @@ def test_topk_recall_measures_ann_quality(spark, tmp_path):
     r3 = {x["query_id"]: x["recall"] for x in topk_recall(
         approx.where(F.col("query_id") != 2), exact).collect()}
     assert r3[2] == 0.0
+
+
+def test_dedup_corpus_lines_c4_style(spark):
+    """dedup_corpus_lines: corpus-common non-blank lines (count >=
+    min_count) vanish from every doc, blank lines always survive,
+    unique lines keep their original order, fully-boilerplate docs
+    become '', and NULL text stays NULL."""
+    from embulk_filter_column_spark.operators import dedup_corpus_lines
+
+    rows = [
+        (1, "keep me one\nsubscribe now\n\nkeep me two"),
+        (2, "subscribe now\nanother unique line"),
+        (3, "subscribe now"),                 # only boilerplate → ''
+        (4, None),                            # NULL stays NULL
+        (5, "solo doc with no shared lines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_clean"]
+           for r in dedup_corpus_lines(df, min_count=2).collect()}
+    assert got[1] == "keep me one\n\nkeep me two"
+    assert got[2] == "another unique line"
+    assert got[3] == ""
+    assert got[4] is None
+    assert got[5] == "solo doc with no shared lines"
+    # min_count above the plant's multiplicity keeps everything
+    keep_all = {r["doc_id"]: r["text_clean"]
+                for r in dedup_corpus_lines(df, min_count=4).collect()}
+    assert keep_all[2] == rows[1][1]
+    with pytest.raises(ValueError, match="min_count"):
+        dedup_corpus_lines(df, min_count=0)
+
+
+def test_dedup_corpus_lines_blank_lines_never_removed(spark):
+    """Blank lines outnumber min_count everywhere but are structural —
+    they must never be treated as corpus-common."""
+    from embulk_filter_column_spark.operators import dedup_corpus_lines
+
+    df = spark.createDataFrame(
+        [(i, f"para {i} a\n\npara {i} b") for i in range(10)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text_clean"]
+           for r in dedup_corpus_lines(df, min_count=2).collect()}
+    assert got[0] == "para 0 a\n\npara 0 b"
