@@ -111,8 +111,13 @@ def dedup_corpus_lines(df: DataFrame, text_col: str = "text",
     aggregation is map-side combining on that fixed-width key (a
     corpus-wide boilerplate line collapses to one row per task before
     the shuffle; no line-instance list ever materializes). Common
-    lines stream out via a left-anti join on the same key, and the
-    reassembly groupBy ships (pos, line) pairs — one shuffle each, all
+    lines stream out via a left-anti join on the same key; the corpus
+    is deliberately scanned twice (counts, then the anti-join side) —
+    the tempting single-scan window formulation
+    (``count().over(partitionBy(_h))``) would ship EVERY instance of a
+    hot boilerplate line into one window task, exactly the skew the
+    groupBy's combiner prevents. The reassembly groupBy ships (pos,
+    line) pairs — one shuffle each, all
     keyed, no skew beyond the count agg's combiner."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
