@@ -41,20 +41,39 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                   eval_text_col: str | None = None,
                   eval_id_col: str | None = None,
                   shingle_n: int = 13,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8,
+                  max_eval_shingle_df: int | None = None) -> DataFrame:
     """Returns ``(doc_id, eval_id, overlap)`` — one row per CONTAMINATED
     training doc (best-matching eval doc's overlap ≥ ``threshold``;
     ties on overlap resolve to the smallest eval id). Training docs
     with no qualifying eval match are absent — the clean set is the
-    anti-join of the input against this result."""
+    anti-join of the input against this result.
+
+    ``max_eval_shingle_df`` is the fan-out guard-rail for SHORT
+    shingle settings: an eval-side shingle appearing in more than that
+    many eval docs (a stop-phrase at n=3) multiplies every matching
+    train doc by its eval document frequency in the join output. Such
+    shingles carry no contamination signal — GPT-3-style pipelines
+    drop high-DF n-grams for the same reason — so the cap excludes
+    them from the index (computed on the eval side only: one tiny
+    aggregation). Default ``None`` keeps the exact semantics; at the
+    13-gram default the fan-out is ~1 and no cap is needed."""
     eval_text_col = eval_text_col or text_col
     eval_id_col = eval_id_col or id_col
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
+    if max_eval_shingle_df is not None and max_eval_shingle_df < 1:
+        raise ValueError("max_eval_shingle_df must be >= 1")
     tr = _shingle_docs(train, text_col, id_col, shingle_n)
     ev = _shingle_docs(eval_df, eval_text_col, eval_id_col, shingle_n)
     ev_inv = (ev.select(F.col(eval_id_col).alias("eval_id"),
                         F.explode("sh").alias("shingle")))
+    if max_eval_shingle_df is not None:
+        w = Window.partitionBy("shingle")
+        ev_inv = (ev_inv
+                  .withColumn("_df", F.count(F.lit(1)).over(w))
+                  .where(F.col("_df") <= max_eval_shingle_df)
+                  .drop("_df"))
     tr_inv = (tr.select(F.col(id_col), F.col("n"),
                         F.explode("sh").alias("shingle")))
     hits = (tr_inv.join(F.broadcast(ev_inv), "shingle")

@@ -1036,3 +1036,30 @@ def test_dedup_corpus_lines_blank_lines_never_removed(spark):
     got = {r["doc_id"]: r["text_clean"]
            for r in dedup_corpus_lines(df, min_count=2).collect()}
     assert got[0] == "para 0 a\n\npara 0 b"
+
+
+def test_decontaminate_eval_df_cap_drops_stop_shingles(spark):
+    """max_eval_shingle_df: a shingle present in every eval doc (a
+    stop-phrase) is excluded from the index, so it can no longer
+    contaminate by itself; discriminative shingles still flag."""
+    from embulk_filter_column_spark.operators import decontaminate
+
+    stop = "click here to subscribe"
+    train = spark.createDataFrame(
+        [(1, stop),                                  # only stop-phrase
+         (2, "unique eval answer forty two exactly")],
+        ["doc_id", "text"])
+    eval_df = spark.createDataFrame(
+        [(100, stop + " unique eval answer forty two exactly"),
+         (101, stop + " other benchmark content entirely"),
+         (102, stop + " third eval document body")],
+        ["doc_id", "text"])
+    uncapped = {r["doc_id"] for r in
+                decontaminate(train, eval_df, shingle_n=3,
+                              threshold=0.9).collect()}
+    assert uncapped == {1, 2}
+    capped = {r["doc_id"]: r["eval_id"] for r in
+              decontaminate(train, eval_df, shingle_n=3, threshold=0.9,
+                            max_eval_shingle_df=1).collect()}
+    # doc 1 (pure stop-phrase) no longer flags; doc 2 still does
+    assert capped == {2: 100}
