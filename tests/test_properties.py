@@ -199,3 +199,58 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["doc_id"]: r["canonical_id"]
            for r in connected_components(df).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["aa bb", "cc dd", "", "  ", "ee ff gg",
+                              "hh", "aa bb "]),
+             min_size=0, max_size=6),
+    min_size=1, max_size=8),
+    min_count=st.integers(min_value=1, max_value=3))
+def test_prop_dedup_corpus_lines_vs_python_model(spark, docs, min_count):
+    """dedup_corpus_lines equals the obvious single-node model on random
+    small corpora: count non-blank lines corpus-wide, drop those at or
+    above min_count, rejoin in order."""
+    from embulk_filter_column_spark.operators import dedup_corpus_lines
+
+    texts = ["\n".join(lines) for lines in docs]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["text_clean"]
+           for r in dedup_corpus_lines(df, min_count=min_count).collect()}
+    counts: dict = {}
+    for t in texts:
+        for ln in t.split("\n"):
+            if ln.strip():
+                counts[ln] = counts.get(ln, 0) + 1
+    for i, t in enumerate(texts):
+        want = "\n".join(ln for ln in t.split("\n")
+                         if not (ln.strip() and counts[ln] >= min_count))
+        assert got[i] == want, (i, t, got[i], want)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(min_value=1, max_value=200),
+       seed=st.integers(min_value=0, max_value=10**6))
+def test_prop_split_exhaustive_exclusive_deterministic(spark, n, seed):
+    """Every row gets exactly one split label; rerunning with the same
+    seed reproduces it; the hash unit stays inside [0, 1)."""
+    from embulk_filter_column_spark.operators import (
+        split_corpus,
+        unit_hash,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    w = {"a": 0.5, "b": 0.3, "c": 0.2}
+    one = {r["doc_id"]: r["split"]
+           for r in split_corpus(df, w, seed=seed).collect()}
+    two = {r["doc_id"]: r["split"]
+           for r in split_corpus(df, w, seed=seed).collect()}
+    assert one == two and set(one.values()) <= {"a", "b", "c"}
+    us = [r["u"] for r in
+          df.select(unit_hash("doc_id", seed).alias("u")).collect()]
+    assert all(0.0 <= u < 1.0 for u in us)
