@@ -680,10 +680,12 @@ _EVAL_SET_SQL = """
 
 def q_text_decontaminate(spark, sf_dir):
     """Train/test decontamination (VERDICT r3 item 3): flag training
-    docs whose shingle overlap with any eval doc reaches the threshold.
-    Eval set = case/punct-jittered copies of every 10th doc (planted
-    contamination at overlap 1.0); organic trigram overlaps below/above
-    the threshold are computed identically by the SQL twin, so the
+    docs containing ≥ threshold of any eval doc's shingles
+    (eval-normalized, the PaLM direction — a long page embedding a
+    short benchmark item verbatim flags at 1.0). Eval set =
+    case/punct-jittered copies of every 10th doc (planted contamination
+    at overlap 1.0); organic trigram overlaps below/above the threshold
+    are computed identically by the SQL twin, so the
     broadcast-inverted-index plan is pinned row-for-row."""
     from embulk_filter_column_spark.operators import decontaminate
 
@@ -1202,21 +1204,22 @@ def oracle_sql() -> dict[str, str]:
                                 [array_to_string(t, ' ')]
                             ELSE [] END AS sh
                 FROM ev_tok),
-            tr_inv AS (SELECT doc_id, len(sh) AS n,
-                              unnest(sh) AS shingle FROM tr_sh),
+            tr_inv AS (SELECT doc_id, unnest(sh) AS shingle
+                       FROM tr_sh),
+            ev_sz AS (SELECT eval_id, len(sh) AS en FROM ev_sh),
             ev_inv AS (SELECT eval_id, unnest(sh) AS shingle
                        FROM ev_sh),
             hits AS (
-                SELECT tr_inv.doc_id, ev_inv.eval_id,
-                       count(*) AS i, min(tr_inv.n) AS n
+                SELECT tr_inv.doc_id, ev_inv.eval_id, count(*) AS i
                 FROM tr_inv JOIN ev_inv
                   ON tr_inv.shingle = ev_inv.shingle
                 GROUP BY 1, 2),
             ranked AS (
-                SELECT doc_id, eval_id, i / n AS overlap,
+                SELECT doc_id, hits.eval_id, i / en AS overlap,
                        row_number() OVER (PARTITION BY doc_id
-                           ORDER BY i / n DESC, eval_id ASC) AS rn
-                FROM hits)
+                           ORDER BY i / en DESC, hits.eval_id ASC)
+                           AS rn
+                FROM hits JOIN ev_sz ON ev_sz.eval_id = hits.eval_id)
             SELECT doc_id, eval_id, round(overlap, 6) AS overlap
             FROM ranked WHERE rn = 1 AND overlap >= 0.5
         """,

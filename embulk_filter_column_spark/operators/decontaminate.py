@@ -3,14 +3,22 @@ pass: flag training documents whose n-gram shingles overlap an
 evaluation set, so benchmark answers don't leak into the corpus
 (GPT-3/PaLM-style n-gram decontamination; VERDICT r3 item 3).
 
-Semantics: for a training doc T and an eval doc E, ``overlap(T, E) =
-|shingles(T) ∩ shingles(E)| / |shingles(T)|`` — the fraction of the
-TRAINING doc's distinct word n-grams that appear in that eval doc
-(shingling = the same normalized ``word_ngrams`` the whole dedup
-family uses, so case/punctuation jitter can't hide contamination). A
-doc is contaminated when its best-matching eval doc reaches
-``threshold``; the output reports that eval doc (ties broken by min
-eval id) and the overlap fraction.
+Semantics: for a training doc T and an eval doc E, the default
+``normalize="eval"`` scores ``overlap(T, E) = |shingles(T) ∩
+shingles(E)| / |shingles(E)|`` — the fraction of the EVAL doc's
+distinct word n-grams that appear in the training doc. Normalizing by
+the eval item is what PaLM-style decontamination does, and it is the
+direction that matters: a 10,000-token page embedding a 50-token
+benchmark question verbatim leaks the entire question, yet scores
+~0.004 under train-side normalization — the contamination hides
+exactly where the document is long. ``normalize="train"`` (|∩|/|T|)
+is available for the converse question — "is this training doc
+mostly made of eval material?" — useful for near-dup pruning of eval
+copies. Shingling is the same normalized ``word_ngrams`` the whole
+dedup family uses, so case/punctuation jitter can't hide
+contamination. A doc is contaminated when its best-matching eval doc
+reaches ``threshold``; the output reports that eval doc (ties broken
+by min eval id) and the overlap fraction.
 
 Scale design (10^10 train docs × 10^3..10^5 eval docs):
 
@@ -42,7 +50,9 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                   eval_id_col: str | None = None,
                   shingle_n: int = 13,
                   threshold: float = 0.8,
-                  max_eval_shingle_df: int | None = None) -> DataFrame:
+                  max_eval_shingle_df: int | None = None,
+                  normalize: str = "eval",
+                  broadcast_eval: bool = True) -> DataFrame:
     """Returns ``(doc_id, eval_id, overlap)`` — one row per CONTAMINATED
     training doc (best-matching eval doc's overlap ≥ ``threshold``;
     ties on overlap resolve to the smallest eval id). Training docs
@@ -57,15 +67,25 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     drop high-DF n-grams for the same reason — so the cap excludes
     them from the index (computed on the eval side only: one tiny
     aggregation). Default ``None`` keeps the exact semantics; at the
-    13-gram default the fan-out is ~1 and no cap is needed."""
+    13-gram default the fan-out is ~1 and no cap is needed.
+
+    ``broadcast_eval=False`` switches the shingle join to an ordinary
+    shuffle join for eval sets too large to broadcast (the forced
+    broadcast ignores autoBroadcastJoinThreshold, so a 10^5-doc eval
+    set's exploded index — gigabytes — would otherwise be collected to
+    the driver and shipped to every executor)."""
     eval_text_col = eval_text_col or text_col
     eval_id_col = eval_id_col or id_col
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
     if max_eval_shingle_df is not None and max_eval_shingle_df < 1:
         raise ValueError("max_eval_shingle_df must be >= 1")
+    if normalize not in ("eval", "train"):
+        raise ValueError("normalize must be 'eval' or 'train'")
     tr = _shingle_docs(train, text_col, id_col, shingle_n)
     ev = _shingle_docs(eval_df, eval_text_col, eval_id_col, shingle_n)
+    ev_sizes = (ev.select(F.col(eval_id_col).alias("eval_id"),
+                          F.col("n").alias("_en")))
     ev_inv = (ev.select(F.col(eval_id_col).alias("eval_id"),
                         F.explode("sh").alias("shingle")))
     if max_eval_shingle_df is not None:
@@ -74,13 +94,21 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                   .withColumn("_df", F.count(F.lit(1)).over(w))
                   .where(F.col("_df") <= max_eval_shingle_df)
                   .drop("_df"))
+    if broadcast_eval:
+        ev_inv = F.broadcast(ev_inv)
     tr_inv = (tr.select(F.col(id_col), F.col("n"),
                         F.explode("sh").alias("shingle")))
-    hits = (tr_inv.join(F.broadcast(ev_inv), "shingle")
+    hits = (tr_inv.join(ev_inv, "shingle")
             .groupBy(id_col, "eval_id")
             .agg(F.count(F.lit(1)).alias("_i"),
-                 F.min("n").alias("_n")))
-    scored = hits.withColumn("overlap", F.col("_i") / F.col("_n"))
+                 F.min("n").alias("_tn")))
+    if normalize == "eval":
+        # eval sizes are one row per eval doc — always broadcastable
+        hits = hits.join(F.broadcast(ev_sizes), "eval_id")
+        denom = F.col("_en")
+    else:
+        denom = F.col("_tn")
+    scored = hits.withColumn("overlap", F.col("_i") / denom)
     w = (Window.partitionBy(id_col)
          .orderBy(F.desc("overlap"), F.asc("eval_id")))
     return (scored

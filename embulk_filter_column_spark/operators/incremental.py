@@ -140,6 +140,37 @@ class FingerprintIndex:
         return (df.join(fresh.select(id_col), id_col, "left_semi")
                 .select(*df.columns))
 
+    def prune_journal(self, keep_last: int = 8) -> list:
+        """Delete journal entries beyond the ``keep_last`` most recent
+        (by modification time), returning the pruned batch ids. Call
+        once the corresponding batches' DOWNSTREAM commits are known
+        durable — a journal only exists to make replay of an
+        in-flight batch safe, so retaining more than the replay window
+        just accumulates a second copy of every accepted fingerprint
+        (at one batch per minute that's ~500k directories/year left
+        behind otherwise). Only fully-indexed entries (marker present)
+        are eligible; an interrupted batch keeps its journal until its
+        replay completes."""
+        import shutil
+
+        if keep_last < 0:
+            raise ValueError("keep_last must be >= 0")
+        root = os.path.join(self.path, "_journal")
+        if not os.path.isdir(root):
+            return []
+        done = [d for d in os.listdir(root)
+                if d.startswith("batch=") and not d.endswith("._indexed")
+                and os.path.exists(os.path.join(root, d + "._indexed"))]
+        done.sort(key=lambda d: os.path.getmtime(os.path.join(root, d)))
+        pruned = []
+        for d in done[:max(len(done) - keep_last, 0)]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            marker = os.path.join(root, d + "._indexed")
+            if os.path.exists(marker):
+                os.remove(marker)
+            pruned.append(d.split("=", 1)[1])
+        return pruned
+
     @staticmethod
     def _touch(path: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -183,13 +183,17 @@ def _c_vec(col):
 
 def _ivf_probes(query_vec, centroids, nprobe: int) -> list:
     """The ``nprobe`` cell ids nearest the query (by dot product over
-    unit centroids == cosine)."""
+    unit centroids == cosine). Ties break to the LOWEST cell id
+    (stable argsort of the negated sims) — the same rule the batch
+    path (``ivf_knn_join``) uses, so a query exactly equidistant from
+    two centroids probes identical cells on both paths."""
     import numpy as np
 
     cts = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(list(query_vec), dtype=np.float64)
     q = q / max(float(np.linalg.norm(q)), 1e-12)
-    return [int(i) for i in (cts @ q).argsort()[::-1][:nprobe]]
+    return [int(i) for i in
+            np.argsort(-(cts @ q), kind="stable")[:nprobe]]
 
 
 def ivf_topk(df: DataFrame, query_vec, centroids, k: int = 10,
@@ -314,9 +318,10 @@ def _knn_partial_fn(qids, qm, dim: int, k: int, vec_col: str,
     nq = len(qids)
 
     def _partial(batches):
-        # per-query candidate pools across this partition's batches
-        cand_ids: list = [[] for _ in range(nq)]
-        cand_cos: list = [[] for _ in range(nq)]
+        # per-query top-k pool, re-trimmed after every batch under the
+        # FINAL total order (-cosine, id) — stays ≤ k rows per query
+        pool_ids: list = [None] * nq
+        pool_cos: list = [None] * nq
         for pdf in batches:
             vecs = pdf[vec_col]
             valid = vecs.map(
@@ -330,23 +335,29 @@ def _knn_partial_fn(qids, qm, dim: int, k: int, vec_col: str,
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = np.round(mat @ qm.T, 6)          # (batch, nq)
             take = min(k, sims.shape[0])
-            # per query: top-`take` of this batch joins the pool
-            part_idx = np.argpartition(-sims, take - 1, axis=0)[:take]
+            # k-th largest cosine per query; the candidate set is
+            # EXTENDED TO ALL ROWS TIED with it — argpartition alone
+            # keeps ties by array position, which could drop the
+            # smaller-id row the final (cosine desc, id asc) order
+            # demands (rounding to 6 decimals makes exact ties common
+            # in near-dup corpora)
+            kth = -np.partition(-sims, take - 1, axis=0)[take - 1]
             for j in range(nq):
-                idx = part_idx[:, j]
-                cand_ids[j].append(ids[idx])
-                cand_cos[j].append(sims[idx, j])
+                idx = np.flatnonzero(sims[:, j] >= kth[j])
+                bi, bc = ids[idx], sims[idx, j]
+                if pool_ids[j] is not None:
+                    bi = np.concatenate([pool_ids[j], bi])
+                    bc = np.concatenate([pool_cos[j], bc])
+                order = _rank_order(bi, bc, k)
+                pool_ids[j] = bi[order]
+                pool_cos[j] = bc[order]
         rows_q, rows_i, rows_c = [], [], []
         for j in range(nq):
-            if not cand_ids[j]:
+            if pool_ids[j] is None:
                 continue
-            ids = np.concatenate(cand_ids[j])
-            cos = np.concatenate(cand_cos[j])
-            # exact trim under the FINAL total order (-cosine, id)
-            order = _rank_order(ids, cos, k)
-            rows_q.append(np.full(len(order), qids[j]))
-            rows_i.append(ids[order])
-            rows_c.append(cos[order])
+            rows_q.append(np.full(len(pool_ids[j]), qids[j]))
+            rows_i.append(pool_ids[j])
+            rows_c.append(pool_cos[j])
         if not rows_q:
             return
         yield pd.DataFrame({
@@ -504,8 +515,11 @@ def _ivf_knn_partial_fn(qids, qm, cell2q: dict, dim: int, k: int,
     nq = len(qids)
 
     def _partial(batches):
-        cand_ids: list = [[] for _ in range(nq)]
-        cand_cos: list = [[] for _ in range(nq)]
+        # per-query top-k pool, re-trimmed after every cell group under
+        # the final (-cosine, id) order; tie-extended selection as in
+        # _knn_partial_fn so tied rows are never dropped arbitrarily
+        pool_ids: list = [None] * nq
+        pool_cos: list = [None] * nq
         for pdf in batches:
             for cell, grp in pdf.groupby("cell", sort=False):
                 qidx = cell2q.get(int(cell))
@@ -524,22 +538,23 @@ def _ivf_knn_partial_fn(qids, qm, cell2q: dict, dim: int, k: int,
                     np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
                 sims = np.round(mat @ qm[qidx].T, 6)   # (rows, |qidx|)
                 take = min(k, sims.shape[0])
-                part_idx = np.argpartition(
-                    -sims, take - 1, axis=0)[:take]
+                kth = -np.partition(-sims, take - 1, axis=0)[take - 1]
                 for col, j in enumerate(qidx):
-                    idx = part_idx[:, col]
-                    cand_ids[j].append(ids[idx])
-                    cand_cos[j].append(sims[idx, col])
+                    idx = np.flatnonzero(sims[:, col] >= kth[col])
+                    bi, bc = ids[idx], sims[idx, col]
+                    if pool_ids[j] is not None:
+                        bi = np.concatenate([pool_ids[j], bi])
+                        bc = np.concatenate([pool_cos[j], bc])
+                    order = _rank_order(bi, bc, k)
+                    pool_ids[j] = bi[order]
+                    pool_cos[j] = bc[order]
         rows_q, rows_i, rows_c = [], [], []
         for j in range(nq):
-            if not cand_ids[j]:
+            if pool_ids[j] is None:
                 continue
-            ids = np.concatenate(cand_ids[j])
-            cos = np.concatenate(cand_cos[j])
-            order = _rank_order(ids, cos, k)
-            rows_q.append(np.full(len(order), qids[j]))
-            rows_i.append(ids[order])
-            rows_c.append(cos[order])
+            rows_q.append(np.full(len(pool_ids[j]), qids[j]))
+            rows_i.append(pool_ids[j])
+            rows_c.append(pool_cos[j])
         if not rows_q:
             return
         yield pd.DataFrame({

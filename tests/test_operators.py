@@ -857,16 +857,19 @@ def test_ivf_knn_join_chunked_matches_single(spark, tmp_path):
 
 
 def test_decontaminate_flags_planted_overlap(spark):
-    """decontaminate (VERDICT r3 item 3): a training doc sharing enough
-    shingles with ANY eval doc is flagged with its best-matching eval
-    id and exact overlap fraction; clean docs are absent; ties resolve
-    to the smallest eval id."""
+    """decontaminate (VERDICT r3 item 3): a training doc containing
+    enough of ANY eval doc's shingles is flagged with its best-matching
+    eval id and exact overlap fraction; clean docs are absent; ties
+    resolve to the smallest eval id. Default normalization is by the
+    EVAL doc (PaLM direction), so a long doc embedding the eval item
+    verbatim flags at 1.0 — the case train-side normalization inverts."""
     from embulk_filter_column_spark.operators import decontaminate
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"filler{i} word{i}" for i in range(60))
     train = spark.createDataFrame(
         [(1, base),                                    # exact leak
-         (2, base + " extra words appended here now"), # partial leak
+         (2, filler + " " + base),                     # long doc embeds eval
          (3, "completely unrelated training text about spark"),
          (4, "ALPHA beta GAMMA delta epsilon zeta eta theta iota kappa"),
          ],                                            # jittered leak
@@ -876,18 +879,23 @@ def test_decontaminate_flags_planted_overlap(spark):
         ["doc_id", "text"])
     got = {r["doc_id"]: (r["eval_id"], r["overlap"])
            for r in decontaminate(train, eval_df, shingle_n=3,
-                                  threshold=0.5).collect()}
-    # doc 1/4 normalize to base: 8 trigrams, all in eval → 1.0, tie→100
+                                  threshold=0.9).collect()}
+    # every eval trigram appears in docs 1, 2 and 4 → overlap 1.0,
+    # tie resolves to eval 100; the LONG doc 2 is flagged too — the
+    # scenario train-side normalization would score at ~8/131
     assert got[1] == (100, 1.0)
+    assert got[2] == (100, 1.0)
     assert got[4] == (100, 1.0)
-    # doc 2: 15 tokens → 13 distinct trigrams, 8 shared → 8/13
-    assert got[2] == (100, round(8 / 13, 6))
     assert 3 not in got
-    # raising the threshold drops the partial leak
-    high = {r["doc_id"] for r in
-            decontaminate(train, eval_df, shingle_n=3,
-                          threshold=0.9).collect()}
-    assert high == {1, 4}
+    # train-side normalization answers the converse question: doc 2 is
+    # NOT mostly eval material
+    by_train = {r["doc_id"]: r["overlap"]
+                for r in decontaminate(train, eval_df, shingle_n=3,
+                                       threshold=0.5,
+                                       normalize="train").collect()}
+    assert by_train[1] == 1.0 and 2 not in by_train
+    with pytest.raises(ValueError, match="normalize"):
+        decontaminate(train, eval_df, normalize="bogus")
 
 
 def test_split_corpus_layout_independent_and_proportional(spark):
@@ -1050,9 +1058,8 @@ def test_decontaminate_eval_df_cap_drops_stop_shingles(spark):
          (2, "unique eval answer forty two exactly")],
         ["doc_id", "text"])
     eval_df = spark.createDataFrame(
-        [(100, stop + " unique eval answer forty two exactly"),
-         (101, stop + " other benchmark content entirely"),
-         (102, stop + " third eval document body")],
+        [(100, stop), (101, stop), (102, stop),      # boilerplate evals
+         (103, "unique eval answer forty two exactly")],
         ["doc_id", "text"])
     uncapped = {r["doc_id"] for r in
                 decontaminate(train, eval_df, shingle_n=3,
@@ -1061,5 +1068,36 @@ def test_decontaminate_eval_df_cap_drops_stop_shingles(spark):
     capped = {r["doc_id"]: r["eval_id"] for r in
               decontaminate(train, eval_df, shingle_n=3, threshold=0.9,
                             max_eval_shingle_df=1).collect()}
-    # doc 1 (pure stop-phrase) no longer flags; doc 2 still does
-    assert capped == {2: 100}
+    # doc 1 (stop-phrase, present in 3 eval docs → shingles dropped)
+    # no longer flags; doc 2's singleton eval match still does
+    assert capped == {2: 103}
+
+
+def test_fingerprint_index_journal_pruning(spark, tmp_path):
+    """prune_journal retires the oldest fully-indexed journal entries
+    (their replay window has passed once downstream commits are
+    durable) and never touches entries newer than keep_last; pruned
+    batches simply recompute on replay — dedup stays correct because
+    the index itself still holds their fingerprints."""
+    import os
+
+    from embulk_filter_column_spark.operators.incremental import (
+        FingerprintIndex,
+    )
+
+    idx = FingerprintIndex(spark, str(tmp_path / "fp"), num_buckets=4)
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(i * 10, f"text number {i}")], ["doc_id", "text"])
+        idx.dedup_and_update(b, batch_id=f"b{i}")
+    pruned = idx.prune_journal(keep_last=2)
+    assert pruned == ["b0", "b1"]
+    assert not os.path.exists(idx._journal_dir("b0"))
+    assert os.path.exists(idx._journal_dir("b3"))
+    # a pruned batch replays as a fresh computation: its fingerprints
+    # are still in the index, so its docs dedup to zero survivors —
+    # no data loss, just no journal short-circuit
+    b0 = spark.createDataFrame([(0, "text number 0")],
+                               ["doc_id", "text"])
+    assert idx.dedup_and_update(b0, batch_id="b0").count() == 0
+    assert idx.prune_journal(keep_last=0) == ["b2", "b3", "b0"]
