@@ -671,10 +671,20 @@ def q_similarity_ivf_knn(spark, sf_dir):
 
 
 # eval set for decontamination: jittered copies of every 10th document
-# (normalize-identical → overlap 1.0) — mirrored verbatim in the oracle
+# (normalize-identical → overlap 1.0) PLUS short 2-token eval items cut
+# verbatim from every 97th document (tokens 3-4 of the normalized text)
+# — these exercise the cover_short_eval path: an eval item under
+# shingle_n tokens is only reachable through the extra train-side
+# shingle sizes (ADVICE r4). Mirrored verbatim in the oracle.
 _EVAL_SET_SQL = """
     SELECT doc_id + 500000 AS doc_id, upper(text) || ' !!' AS text
     FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 700000 AS doc_id,
+           array_to_string(list_filter(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ',
+                    'g')), '\\s+'), x -> x <> '')[3:4], ' ') AS text
+    FROM documents WHERE doc_id % 97 = 0
 """
 
 
@@ -684,17 +694,29 @@ def q_text_decontaminate(spark, sf_dir):
     (eval-normalized, the PaLM direction — a long page embedding a
     short benchmark item verbatim flags at 1.0). Eval set =
     case/punct-jittered copies of every 10th doc (planted contamination
-    at overlap 1.0); organic trigram overlaps below/above the threshold
-    are computed identically by the SQL twin, so the
-    broadcast-inverted-index plan is pinned row-for-row."""
+    at overlap 1.0) + 2-token items cut verbatim from every 97th doc
+    (planted SHORT contamination, reachable only via the
+    cover_short_eval multi-size train index — ADVICE r4); organic
+    overlaps below/above the threshold are computed identically by the
+    SQL twin, so the broadcast-inverted-index plan is pinned
+    row-for-row."""
     from embulk_filter_column_spark.operators import decontaminate
 
     _utc(spark)
     d = _load(spark, sf_dir, "documents")
+    norm_toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                        r"[^a-z0-9\s]+", " ")), r"\s+"),
+        lambda t: t != "")
     eval_df = (d.where(F.col("doc_id") % 10 == 0)
                .select((F.col("doc_id") + 500000).alias("doc_id"),
                        F.concat(F.upper(F.col("text")), F.lit(" !!"))
-                        .alias("text")))
+                        .alias("text"))
+               .unionByName(
+                   d.where(F.col("doc_id") % 97 == 0)
+                   .select((F.col("doc_id") + 700000).alias("doc_id"),
+                           F.concat_ws(" ", F.slice(norm_toks, 3, 2))
+                            .alias("text"))))
     return decontaminate(d, eval_df, shingle_n=3, threshold=0.5)
 
 
@@ -1186,6 +1208,9 @@ def oracle_sql() -> dict[str, str]:
                                 '[^a-z0-9\\s]+', ' ', 'g')), '\\s+'),
                            x -> x <> '') AS t
                 FROM ev),
+            short_sizes AS (
+                SELECT DISTINCT len(t) AS s FROM ev_tok
+                WHERE len(t) > 0 AND len(t) < 3),
             tr_sh AS (
                 SELECT doc_id,
                        CASE WHEN len(t) >= 3 THEN list_distinct(
@@ -1204,8 +1229,23 @@ def oracle_sql() -> dict[str, str]:
                                 [array_to_string(t, ' ')]
                             ELSE [] END AS sh
                 FROM ev_tok),
-            tr_inv AS (SELECT doc_id, unnest(sh) AS shingle
-                       FROM tr_sh),
+            -- cover_short_eval twin: train shingles at every short
+            -- eval size, same per-size fallback as word_ngrams
+            tr_extra AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= s THEN list_distinct(
+                                [array_to_string(t[i+1:i+s], ' ')
+                                 FOR i IN range(len(t) - s + 1)])
+                            WHEN len(t) > 0 THEN
+                                [array_to_string(t, ' ')]
+                            ELSE [] END AS sh
+                FROM tr_tok CROSS JOIN short_sizes),
+            tr_inv AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id, unnest(sh) AS shingle FROM tr_sh
+                    UNION ALL
+                    SELECT doc_id, unnest(sh) AS shingle
+                    FROM tr_extra)),
             ev_sz AS (SELECT eval_id, len(sh) AS en FROM ev_sh),
             ev_inv AS (SELECT eval_id, unnest(sh) AS shingle
                        FROM ev_sh),

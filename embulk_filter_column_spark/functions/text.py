@@ -125,6 +125,45 @@ def word_ngrams(col, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(toks0), _build), 1)
 
 
+def word_ngrams_multi(col, sizes) -> Column:
+    """Distinct word n-gram shingles at EVERY size in ``sizes``, from ONE
+    tokenization per row (``word_ngrams`` called per size would re-run
+    regex+split+filter once per size). Per-size semantics match
+    ``word_ngrams`` exactly, including the short-document fallback (a doc
+    with fewer tokens than a size contributes its whole token sequence
+    for that size). Used by ``decontaminate`` to index training docs at
+    the shingle sizes its short eval items actually have (ADVICE r4:
+    eval items under shingle_n tokens were invisible at the default
+    n=13)."""
+    sizes = sorted({int(s) for s in sizes})
+    if not sizes or sizes[0] < 1:
+        raise ValueError("sizes must be a non-empty set of ints >= 1")
+    c = F.col(col) if isinstance(col, str) else col
+    toks0 = tokens(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]+", " "))
+
+    def _build(toks):
+        count = F.size(toks)
+
+        def _gram_fn(n):
+            # a one-arg lambda per size: F.transform treats a TWO-arg
+            # lambda as (element, index) — a `n=n` default would be
+            # silently overwritten by the array index
+            return lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+
+        parts = []
+        for n in sizes:
+            idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+            grams = F.transform(idx, _gram_fn(n))
+            parts.append(
+                F.when(count >= n, grams)
+                 .otherwise(F.when(count > 0,
+                                   F.array(F.concat_ws(" ", toks)))
+                            .otherwise(F.array().cast("array<string>"))))
+        return F.array_distinct(F.flatten(F.array(*parts)))
+
+    return F.element_at(F.transform(F.array(toks0), _build), 1)
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (training-data scrubbing)
 

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,6 +69,19 @@ class FingerprintIndex:
         return bool(glob.glob(os.path.join(self.path, "bucket=*")))
 
     # -- batch journal (skip-or-replay) ---------------------------------
+
+    # batch ids become path components under _journal/ — a '/' or '..'
+    # would write outside the journal root and break the os.listdir
+    # discovery in prune_journal (ADVICE r4)
+    _BATCH_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+    @classmethod
+    def _check_batch_id(cls, batch_id: str) -> str:
+        if not cls._BATCH_ID_RE.match(batch_id) or batch_id in (".", ".."):
+            raise ValueError(
+                "batch_id must match [A-Za-z0-9._-]+ (it becomes a "
+                "filesystem path component): %r" % batch_id)
+        return batch_id
 
     def _journal_dir(self, batch_id: str) -> str:
         return os.path.join(self.path, "_journal", f"batch={batch_id}")
@@ -101,6 +115,8 @@ class FingerprintIndex:
         With ``batch_id``, replaying an already-journaled batch returns
         the recorded survivor set (see module docstring for the crash
         contract); without it the call is single-shot only."""
+        if batch_id is not None:
+            self._check_batch_id(batch_id)
         if batch_id is not None and self._journal_committed(batch_id):
             # replay of a committed batch: the journaled decision is
             # authoritative — finish the index append if the crash

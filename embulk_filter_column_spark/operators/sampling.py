@@ -23,6 +23,15 @@ Spark side).
   u(id) < fraction(stratum) — exact deterministic per-stratum rates
   for up/down-weighting sources or languages. Pure filter; Catalyst
   pushes it into the scan.
+
+NULL ids have no hash, hence no deterministic membership — all three
+operators treat them the SAME way (ADVICE r4: split used to silently
+dump them into the last-named split while sample dropped them):
+``split_corpus`` assigns a NULL split, ``sample_corpus_stratified``
+excludes the row, and ``shuffle_corpus`` gives a NULL key (Spark
+orders NULLS FIRST ascending, so they group at the front — audit or
+filter them there). A corpus with NULL doc ids should be repaired
+upstream; these operators just refuse to invent membership for it.
 """
 
 from __future__ import annotations
@@ -57,7 +66,8 @@ def split_corpus(df: DataFrame, weights: dict | None = None,
     """Append ``split_col`` assigning each row to a named split with
     probability proportional to its weight (weights are normalized).
     Deterministic in (id, seed) only — stable across reruns,
-    repartitions, and incremental corpus growth."""
+    repartitions, and incremental corpus growth. Rows with a NULL id
+    get a NULL split (no hash → no membership; see module docstring)."""
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative and non-empty")
@@ -75,6 +85,11 @@ def split_corpus(df: DataFrame, weights: dict | None = None,
                                                     F.lit(name))
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
+    # NULL id → NULL u → every when-condition NULL → the otherwise()
+    # branch: a NULL-id row would silently land in the LAST split — gate
+    # the whole expression on the id instead (consistent with sample's
+    # exclusion; ADVICE r4)
+    expr = F.when(F.col(id_col).isNotNull(), expr)
     return df.withColumn(split_col, expr)
 
 
@@ -101,7 +116,9 @@ def sample_corpus_stratified(df: DataFrame, strata_col: str,
     (up/down-weight sources, languages, quality tiers). Strata absent
     from ``fractions`` keep ``default_fraction``. Unlike
     ``df.sampleBy``, membership is independent of partitioning and
-    reproducible across engines."""
+    reproducible across engines. NULL-id rows are excluded (NULL hash
+    fails every comparison — the documented NULL policy, see module
+    docstring)."""
     for k, v in fractions.items():
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"fraction for {k!r} must be in [0, 1]")

@@ -217,6 +217,23 @@ def ivf_topk(df: DataFrame, query_vec, centroids, k: int = 10,
             .limit(k))
 
 
+def _warn_if_chunked(op: str, n_queries: int, rows_per_chunk: int) -> None:
+    """Each query chunk costs one (pruned) corpus scan — silent
+    multi-chunking turns a 10^10-row job into N of them (ADVICE r4);
+    surface the multiplier so callers can raise ``chunk_bytes`` or
+    shrink the query side deliberately."""
+    import math
+    import warnings
+
+    n_chunks = math.ceil(n_queries / rows_per_chunk)
+    if n_chunks > 1:
+        warnings.warn(
+            "%s: query matrix spans %d chunks — the corpus will be "
+            "scanned %d times (one per chunk); raise chunk_bytes or "
+            "reduce the query side if the corpus scan is expensive"
+            % (op, n_chunks, n_chunks), stacklevel=3)
+
+
 def _rank_order(ids, cos, k: int):
     """Top-``k`` indices under the total order (-cosine, id), id-type
     agnostic: two stable argsorts (id ascending, then cosine
@@ -291,6 +308,7 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
             "max_query_bytes=%d — swap the sides or raise the bound"
             % (total_bytes, max_query_bytes))
     rows_per_chunk = max(chunk_bytes // (dim * 8), 1)
+    _warn_if_chunked("knn_join", len(q_rows), rows_per_chunk)
 
     src = corpus.select(id_col, vec_col)
     partials = []
@@ -475,6 +493,7 @@ def ivf_knn_join(spark, path: str, queries: DataFrame, centroids,
                            kind="stable")[:, :npb]
 
     rows_per_chunk = max(chunk_bytes // (dim * 8), 1)
+    _warn_if_chunked("ivf_knn_join", len(q_rows), rows_per_chunk)
     from pyspark.sql import Window
 
     partials = []

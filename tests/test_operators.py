@@ -898,6 +898,58 @@ def test_decontaminate_flags_planted_overlap(spark):
         decontaminate(train, eval_df, normalize="bogus")
 
 
+def test_decontaminate_short_eval_items_are_covered(spark):
+    """ADVICE r4: an eval item SHORTER than shingle_n used to be
+    invisible (its whole-text fallback shingle can never equal a longer
+    doc's n-gram). With cover_short_eval (default) the train side is
+    additionally indexed at the short sizes present in the eval set, so
+    a verbatim 2-token leak flags at overlap 1.0 even at n=13; the
+    opt-out restores the old blindness; multi-size indexing never
+    cross-matches sizes (string equality implies equal token counts)."""
+    from embulk_filter_column_spark.functions.text import (
+        word_ngrams,
+        word_ngrams_multi,
+    )
+    from embulk_filter_column_spark.operators import decontaminate
+
+    filler = " ".join(f"filler{i} word{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [(1, filler + " gamma delta " + filler),   # embeds the 2-gram
+         (2, filler),                              # clean
+         (3, "solo"),                              # 1-token train doc
+         ], ["doc_id", "text"])
+    eval_df = spark.createDataFrame(
+        [(100, "gamma delta"),      # 2 tokens < n=13
+         (101, "solo"),             # 1 token
+         (102, "absent pair")],     # 2 tokens, no match
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["eval_id"], r["overlap"])
+           for r in decontaminate(train, eval_df, shingle_n=13,
+                                  threshold=0.9).collect()}
+    assert got[1] == (100, 1.0)
+    assert got[3] == (101, 1.0)
+    assert 2 not in got
+    # opt-out: the old semantics — a short eval item is invisible to
+    # LONG train docs (doc 3 still matches: its own whole-text fallback
+    # equals eval 101's)
+    off = {r["doc_id"]: r["eval_id"]
+           for r in decontaminate(train, eval_df, shingle_n=13,
+                                  threshold=0.9,
+                                  cover_short_eval=False).collect()}
+    assert off == {3: 101}
+    # word_ngrams_multi == union of word_ngrams at each size (one
+    # tokenization), including the per-size short-doc fallback
+    df = spark.createDataFrame(
+        [("alpha beta gamma delta",), ("one",), ("",)], ["text"])
+    rows = df.select(
+        F.array_sort(word_ngrams_multi("text", [2, 3])).alias("multi"),
+        F.array_sort(F.array_distinct(F.concat(
+            word_ngrams("text", 2), word_ngrams("text", 3))))
+         .alias("union")).collect()
+    for r in rows:
+        assert r["multi"] == r["union"]
+
+
 def test_split_corpus_layout_independent_and_proportional(spark):
     """split_corpus must assign by (id, seed) only: identical splits
     under different partitioning (the property Bernoulli sample()
@@ -923,6 +975,27 @@ def test_split_corpus_layout_independent_and_proportional(spark):
     assert a != c
     with pytest.raises(ValueError):
         split_corpus(df, {"a": -0.1, "b": 1.1})
+
+
+def test_sampling_null_ids_consistent(spark):
+    """ADVICE r4: NULL ids have no hash-derived membership — split
+    assigns a NULL split (it used to silently dump them into the LAST
+    split) and stratified sampling excludes them; the two operators
+    agree on the policy."""
+    from embulk_filter_column_spark.operators import (
+        sample_corpus_stratified,
+        split_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en"), (None, "en"), (2, "en")],
+        "doc_id long, lang string")
+    splits = {r["doc_id"]: r["split"]
+              for r in split_corpus(df, {"a": 0.5, "b": 0.5}).collect()}
+    assert splits[None] is None
+    assert splits[1] in ("a", "b") and splits[2] in ("a", "b")
+    kept = sample_corpus_stratified(df, "lang", {"en": 1.0}).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]
 
 
 def test_shuffle_corpus_is_deterministic_permutation(spark):
@@ -1101,3 +1174,8 @@ def test_fingerprint_index_journal_pruning(spark, tmp_path):
                                ["doc_id", "text"])
     assert idx.dedup_and_update(b0, batch_id="b0").count() == 0
     assert idx.prune_journal(keep_last=0) == ["b2", "b3", "b0"]
+    # batch ids become path components — a traversal-shaped id must be
+    # rejected before it can write outside _journal (ADVICE r4)
+    for bad in ("a/b", "..", "x..y/", "", "b\x00"):
+        with pytest.raises(ValueError, match="batch_id"):
+            idx.dedup_and_update(b0, batch_id=bad)
