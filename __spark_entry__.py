@@ -480,6 +480,35 @@ def q_dedup_incremental(spark, sf_dir):
             .unionByName(out2.select("doc_id")))
 
 
+def q_dedup_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup dedup (MinHashIndex, VERDICT r4 item 1):
+    the planted corpus replays as two batches — originals, then the
+    jittered near-duplicates — against a persistent banded MinHash
+    index. Batch 2's copies are rejected by the partition-pruned band
+    probe + exact-Jaccard verify against batch-1 SURVIVORS (not by any
+    in-batch mechanism). Survivor semantics (docstring of MinHashIndex)
+    are mirrored exactly by the oracle: drop a doc iff its exact
+    Jaccard ≥ 0.8 with an earlier same-batch doc or a previous-batch
+    survivor — expressible in SQL because the entry runs exactly two
+    batches. Equality requires total blocking recall (8 bands × 2 rows:
+    a j=0.8 pair escapes with probability (1-j²)⁸ ≈ 3·10⁻⁴), verified
+    exhaustively on the sf0.01 gate corpus."""
+    from embulk_filter_column_spark.operators.incremental import (
+        MinHashIndex,
+    )
+
+    _utc(spark)
+    docs = _docs_with_dups(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
+    idx = MinHashIndex(spark, f"{base}/idx", num_buckets=16,
+                       num_hashes=16, bands=8, shingle_n=3,
+                       threshold=0.8)
+    out1 = idx.dedup_and_update(docs.where(F.col("doc_id") < 1000000))
+    out2 = idx.dedup_and_update(docs.where(F.col("doc_id") >= 1000000))
+    return (out1.select("doc_id")
+            .unionByName(out2.select("doc_id")))
+
+
 def q_dedup_embedding(spark, sf_dir):
     _utc(spark)
     return embedding_near_dup_pairs(_embeddings_with_dups(spark, sf_dir),
@@ -668,6 +697,49 @@ def q_similarity_ivf_knn(spark, sf_dir):
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return ivf_knn_join(spark, f"{base}/ivf", queries, centroids,
                         k=10, nprobe=2)
+
+
+def q_similarity_recall(spark, sf_dir):
+    """ANN recall instrumentation (VERDICT r4 item 4): per-query recall
+    of the IVF batch retrieval against the exact kNN join — the metric
+    that picks ``nprobe`` before a 10^10-row rollout. On the
+    planted-parallel corpus both sides' top-10 are the query vector +
+    its 9 parallel plants (cosine exactly 1.0; organic vectors can't
+    round there), so recall is enumerably 1.0 per query — any drift in
+    EITHER retrieval path or in the recall join itself breaks the
+    hash."""
+    from embulk_filter_column_spark.operators.similarity import (
+        ivf_knn_join,
+        knn_join,
+        topk_recall,
+        write_ivf_table,
+    )
+
+    _utc(spark)
+    e = (_load(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>")
+                 .alias("embedding")))
+    plants = (e.where(F.col("vec_id") < 3)
+              .select(F.col("vec_id").alias("q"), "embedding")
+              .select("q",
+                      F.explode(F.sequence(F.lit(1), F.lit(9)))
+                       .alias("i"),
+                      "embedding")
+              .select((F.lit(2000000) + F.col("q") * 100 + F.col("i"))
+                      .alias("vec_id"),
+                      F.transform("embedding", lambda x: x * 1.001)
+                       .alias("embedding")))
+    corpus = e.unionByName(plants)
+    centroids = train_ivf_centroids(corpus, n_centroids=16)
+    base = tempfile.mkdtemp(prefix="spark_graft_recall_")
+    write_ivf_table(corpus, f"{base}/ivf", centroids)
+    queries = (e.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = knn_join(corpus, queries, k=10)
+    approx = ivf_knn_join(spark, f"{base}/ivf", queries, centroids,
+                          k=10, nprobe=2)
+    return topk_recall(approx, exact)
 
 
 # eval set for decontamination: jittered copies of every 10th document
@@ -944,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -953,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "similarity_knn_join": q_similarity_knn_join,
         "similarity_ivf_knn": q_similarity_ivf_knn,
+        "similarity_recall": q_similarity_recall,
         "text_decontaminate": q_text_decontaminate,
         "text_dedup_lines": q_text_dedup_lines,
         "corpus_split": q_corpus_split,
@@ -1117,6 +1191,33 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         "dedup_simhash_pairs": _JACCARD_PAIRS_SQL,
+        # two-batch replay of the MinHashIndex semantics: a doc is
+        # dropped iff exact Jaccard ≥ 0.8 with an EARLIER doc of its
+        # own batch (pairs are (a < b), so p.b = d with p.a in-batch)
+        # or with a SURVIVOR of batch 1 — the cross-batch check sees
+        # only what the index holds, i.e. s1, not all of batch 1
+        "dedup_incremental_minhash": f"""
+            WITH pairs AS (SELECT a, b FROM ({_JACCARD_PAIRS_SQL})),
+            s1 AS (
+                SELECT doc_id FROM documents d
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM pairs p
+                    WHERE p.b = d.doc_id AND p.a < 1000000)),
+            b2 AS (
+                SELECT doc_id + 1000000 AS doc_id FROM documents
+                WHERE doc_id % 10 = 0),
+            s2 AS (
+                SELECT doc_id FROM b2 d
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM pairs p
+                    WHERE p.b = d.doc_id AND p.a >= 1000000)
+                  AND NOT EXISTS (
+                    SELECT 1 FROM pairs p JOIN s1 ON p.a = s1.doc_id
+                    WHERE p.b = d.doc_id))
+            SELECT doc_id FROM s1
+            UNION ALL
+            SELECT doc_id FROM s2
+        """,
         # transitive closure (recursive CTE) over the same exact pair
         # join: component label = min reachable id — pins the Spark
         # large-star/small-star implementation on multi-hop chains
@@ -1191,6 +1292,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS BIGINT),
                    CAST(2000000 + q * 100 + i AS BIGINT), 1.0
             FROM range(3) t(q) CROSS JOIN range(1, 10) s(i)
+        """,
+        # planted-parallel corpus: both retrieval paths return the
+        # query + its 9 plants, so per-query recall is exactly 1.0
+        "similarity_recall": """
+            SELECT CAST(q AS BIGINT) AS query_id, 1.0 AS recall
+            FROM range(3) t(q)
         """,
         "text_decontaminate": f"""
             WITH ev AS ({_EVAL_SET_SQL}),

@@ -3,7 +3,7 @@ from .groups import (  # noqa: F401
     dedup_groups,
 )
 from .decontaminate import decontaminate  # noqa: F401
-from .incremental import FingerprintIndex  # noqa: F401
+from .incremental import FingerprintIndex, MinHashIndex  # noqa: F401
 from .packing import pack_documents  # noqa: F401
 from .sampling import (  # noqa: F401
     sample_corpus_stratified,
@@ -15,6 +15,7 @@ from .dedup import (  # noqa: F401
     dedup_corpus_lines,
     embedding_near_dup_pairs,
     exact_dedup,
+    minhash_band_keys,
     minhash_lsh_candidates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,

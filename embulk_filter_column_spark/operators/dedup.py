@@ -305,22 +305,20 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
             .drop("_shingles"))
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", num_hashes: int = 16,
-                           bands: int = 4, shingle_n: int = 3,
-                           seed: int = 42,
-                           max_bucket_size: int | None = DEFAULT_MAX_BUCKET
-                           ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
-
-    signature → ``bands`` band keys (hash of the band's slice) → explode →
-    per-(band, key) bucket pair generation. Returns distinct (a, b) id
-    pairs with a < b. The only shuffle is the groupBy on band keys."""
+def minhash_band_keys(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      seed: int = 42) -> DataFrame:
+    """Exploded banded-LSH index entries: ``(id, band, key)`` — one row
+    per document per band, key = hash of the band's signature slice.
+    Shared by the one-shot blocker (``minhash_lsh_candidates``) and the
+    persistent incremental index (``incremental.MinHashIndex``), so a
+    corpus indexed by one is probe-compatible with the other at equal
+    parameters. Shingle-less docs (empty/whitespace text) are dropped:
+    their null signatures would all share one band key and
+    pair-explode, and an empty shingle set has no meaningful Jaccard
+    neighbors (exact_dedup still collapses identical empty texts)."""
     rows = num_hashes // bands
-    # shingle-less docs (empty/whitespace text) hash to null minhash
-    # entries, which would all share one band key and pair-explode; an
-    # empty shingle set has no meaningful Jaccard neighbors — drop them
-    # up front (exact_dedup still collapses identical empty texts)
     with_sig = minhash_signature(df.where(_has_tokens(text_col)),
                                  text_col, num_hashes, shingle_n, seed)
     band_cols = F.array(*[
@@ -332,9 +330,24 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             .alias("key"))
         for b in range(bands)
     ])
-    exploded = (with_sig
-                .select(F.col(id_col), F.explode(band_cols).alias("bk"))
-                .select(id_col, "bk.band", "bk.key"))
+    return (with_sig
+            .select(F.col(id_col), F.explode(band_cols).alias("bk"))
+            .select(id_col, "bk.band", "bk.key"))
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4, shingle_n: int = 3,
+                           seed: int = 42,
+                           max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+                           ) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    signature → ``bands`` band keys (hash of the band's slice) → explode →
+    per-(band, key) bucket pair generation. Returns distinct (a, b) id
+    pairs with a < b. The only shuffle is the groupBy on band keys."""
+    exploded = minhash_band_keys(df, text_col, id_col, num_hashes,
+                                 bands, shingle_n, seed)
     return _bucket_pairs(exploded, ["band", "key"], id_col,
                          max_bucket_size)
 

@@ -667,6 +667,104 @@ def test_fingerprint_index_incremental_dedup(spark, tmp_path):
     assert got3 == [21]
 
 
+def test_minhash_index_incremental_near_dedup(spark, tmp_path):
+    """MinHashIndex (VERDICT r4 item 1): batch 2's NEAR-duplicates of
+    batch-1 survivors — case/punct jitter, small insertions — are
+    rejected by the pruned band-index probe + exact-Jaccard verify, not
+    by any in-batch mechanism; genuinely new docs are accepted; the
+    returned frame stays stable after the index append (decision pinned
+    first)."""
+    from embulk_filter_column_spark.operators import MinHashIndex
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank today")
+    other = ("completely different content about spark sql engines "
+             "and shuffles here")
+    third = ("a third unique document talking about parquet file "
+             "formats and metadata")
+    idx = MinHashIndex(spark, str(tmp_path / "mh"), num_buckets=8)
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other),
+         (3, base.upper() + " !!")],      # in-batch near-dup of 1
+        ["doc_id", "text"])
+    assert sorted(r["doc_id"] for r in
+                  idx.dedup_and_update(b1).collect()) == [1, 2]
+
+    b2 = spark.createDataFrame(
+        [(10, base + " extra"),           # near-dup of indexed 1
+         (11, third),                     # new
+         (12, other.upper() + "??")],     # near-dup of indexed 2
+        ["doc_id", "text"])
+    out2 = idx.dedup_and_update(b2)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11]
+    # stable on re-read (decision pinned before the index append)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11]
+
+    b3 = spark.createDataFrame(
+        [(20, third + "!"),               # near-dup of batch-2 survivor
+         (21, "entirely novel text again with many words")],
+        ["doc_id", "text"])
+    assert sorted(r["doc_id"] for r in
+                  idx.dedup_and_update(b3).collect()) == [21]
+    # reopening with different parameters must refuse (band keys would
+    # be incompatible — probes would silently miss everything)
+    with pytest.raises(ValueError, match="incompatible"):
+        MinHashIndex(spark, str(tmp_path / "mh"), num_buckets=8, bands=4)
+
+
+def test_minhash_index_probe_is_partition_pruned(spark, tmp_path):
+    """The cross-batch probe must read only the bucket directories the
+    batch's band keys hash into, and the shingle fetch only the
+    candidate old ids' dbucket directories — both as plan-time
+    PartitionFilters (inputFiles() ignores pruning; the executed plan
+    is the evidence)."""
+    import os
+
+    from embulk_filter_column_spark.operators import MinHashIndex
+
+    idx = MinHashIndex(spark, str(tmp_path / "mh"), num_buckets=16)
+    b1 = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words and "
+             f"unique token u{i} plus filler content here")
+         for i in range(20)],
+        ["doc_id", "text"])
+    idx.dedup_and_update(b1)
+    all_buckets = {int(d.split("=")[1])
+                   for d in os.listdir(idx._bands_path)
+                   if d.startswith("bucket=")}
+    probe = sorted(all_buckets)[:2]
+    for df in (idx._band_slice(probe), idx._doc_slice(probe)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan, plan
+        pf = plan.split("PartitionFilters", 1)[1][:300]
+        assert "bucket" in pf and " IN " in pf, pf
+
+
+def test_minhash_index_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: replaying a journaled batch returns the
+    RECORDED survivors (a naive replay would band-join the batch
+    against its own index entries and reject every doc)."""
+    from embulk_filter_column_spark.operators import MinHashIndex
+
+    idx = MinHashIndex(spark, str(tmp_path / "mh"), num_buckets=4)
+    b1 = spark.createDataFrame(
+        [(1, "first document text body with several words"),
+         (2, "second unrelated document about other things")],
+        ["doc_id", "text"])
+    got = sorted(r["doc_id"] for r in
+                 idx.dedup_and_update(b1, batch_id="b1").collect())
+    assert got == [1, 2]
+    replay = sorted(r["doc_id"] for r in
+                    idx.dedup_and_update(b1, batch_id="b1").collect())
+    assert replay == [1, 2]
+    # the index still holds batch 1: a later near-dup is rejected
+    b2 = spark.createDataFrame(
+        [(10, "FIRST document text body with several words!!")],
+        ["doc_id", "text"])
+    assert idx.dedup_and_update(b2, batch_id="b2").count() == 0
+    assert idx.prune_journal(keep_last=1) == ["b1"]
+
+
 def test_simhash_stream_policy_exact_on_clustered_sigs(spark):
     """simhash_near_dup_pairs documents total recall, so a degenerate
     signature cluster (every doc near-identical → shared band values,
