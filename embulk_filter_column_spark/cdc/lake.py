@@ -29,15 +29,14 @@ commits, not ordering.
 
 from __future__ import annotations
 
-import glob
 import json
-import os
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..errors import EngineError
+from ..fsio import io_for
 from .dedup import last_writer_wins, salted_last_writer_wins
 
 OP_COL = "_op"
@@ -67,7 +66,12 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self.meta_dir = os.path.join(path, "_meta")
+        # metadata IO routes through the filesystem the path's scheme
+        # names (hdfs://, s3a://, file:/ → Hadoop FileSystem API; plain
+        # paths → os level), keeping the atomic-rename commit contract
+        # on either (fsio module docstring; VERDICT r4 item 2)
+        self._io = io_for(spark, path)
+        self.meta_dir = self._io.join(path, "_meta")
 
     # -- creation / manifest ------------------------------------------------
 
@@ -76,7 +80,7 @@ class LakeTable:
                key: str = "url", order: tuple = ("warc_ts", "seq"),
                num_buckets: int = 64) -> "LakeTable":
         t = cls(spark, path)
-        os.makedirs(t.meta_dir, exist_ok=True)
+        t._io.mkdirs(t.meta_dir)
         manifest = {
             "snapshot_id": 0,
             "batch_id": 0,
@@ -95,17 +99,13 @@ class LakeTable:
 
     @classmethod
     def exists(cls, spark: SparkSession, path: str) -> bool:
-        return os.path.exists(os.path.join(path, "_meta", "HEAD"))
+        io = io_for(spark, path)
+        return io.exists(io.join(path, "_meta", "HEAD"))
 
     def _write_manifest(self, manifest: dict) -> None:
-        p = os.path.join(self.meta_dir,
-                         "snapshot-%08d.json" % manifest["snapshot_id"])
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, p)
+        p = self._io.join(self.meta_dir,
+                          "snapshot-%08d.json" % manifest["snapshot_id"])
+        self._io.write_text_atomic(p, json.dumps(manifest))
 
     def _commit_head(self, snapshot_id: int,
                      expected_parent: int | None = None) -> None:
@@ -117,29 +117,23 @@ class LakeTable:
         single-writer pipelines never trip this; it guards operator
         error (two pipelines pointed at one lake)."""
         if expected_parent is not None:
-            head_file = os.path.join(self.meta_dir, "HEAD")
-            if os.path.exists(head_file):
-                with open(head_file) as fh:
-                    current = int(fh.read().strip())
+            head_file = self._io.join(self.meta_dir, "HEAD")
+            if self._io.exists(head_file):
+                current = int(self._io.read_text(head_file).strip())
                 if current != expected_parent:
                     raise EngineError(
                         "concurrent commit detected: HEAD moved to "
                         "snapshot %d while this commit was derived from "
                         "%d — retry from the new table state"
                         % (current, expected_parent))
-        tmp = os.path.join(self.meta_dir, "HEAD.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(str(snapshot_id))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, os.path.join(self.meta_dir, "HEAD"))
+        self._io.write_text_atomic(self._io.join(self.meta_dir, "HEAD"),
+                                   str(snapshot_id))
 
     def head(self) -> dict:
-        with open(os.path.join(self.meta_dir, "HEAD")) as fh:
-            snap = int(fh.read().strip())
-        with open(os.path.join(self.meta_dir,
-                               "snapshot-%08d.json" % snap)) as fh:
-            return json.load(fh)
+        snap = int(self._io.read_text(
+            self._io.join(self.meta_dir, "HEAD")).strip())
+        return json.loads(self._io.read_text(
+            self._io.join(self.meta_dir, "snapshot-%08d.json" % snap)))
 
     @property
     def committed_batch_id(self) -> int:
@@ -214,17 +208,18 @@ class LakeTable:
                              F.lit(new_num_buckets)).cast("int")
         new_snap = m["snapshot_id"] + 1
         rel_dir = "data/s%08d" % new_snap
-        out_dir = os.path.join(self.path, rel_dir)
+        out_dir = self._io.join(self.path, rel_dir)
         (df.withColumn("bucket", bucket_expr)
            .repartition(new_num_buckets, "bucket")
            .write.mode("overwrite").partitionBy("bucket")
            .parquet(out_dir))
         new_buckets = {}
         cur_schema_id = m["schema_id"]
-        for bdir in glob.glob(os.path.join(out_dir, "bucket=*")):
-            b = int(os.path.basename(bdir).split("=", 1)[1])
-            paths = [os.path.relpath(p, self.path)
-                     for p in glob.glob(os.path.join(bdir, "*.parquet"))]
+        for bdir in self._io.glob(self._io.join(out_dir, "bucket=*")):
+            b = int(self._io.basename(bdir).split("=", 1)[1])
+            paths = [self._io.relpath(p, self.path)
+                     for p in self._io.glob(
+                         self._io.join(bdir, "*.parquet"))]
             new_buckets[str(b)] = [
                 {"path": p, "schema_id": cur_schema_id} for p in paths]
         m2 = dict(m)
@@ -261,7 +256,7 @@ class LakeTable:
                 continue
             for entry in files:
                 groups.setdefault(entry["schema_id"], []).append(
-                    os.path.join(self.path, entry["path"]))
+                    self._io.join(self.path, entry["path"]))
         return groups
 
     def _has_delta(self, manifest: dict, buckets=None) -> bool:
@@ -316,17 +311,17 @@ class LakeTable:
         return out
 
     def manifest(self, snapshot_id: int) -> dict:
-        p = os.path.join(self.meta_dir, "snapshot-%08d.json" % snapshot_id)
-        if not os.path.exists(p):
+        p = self._io.join(self.meta_dir,
+                          "snapshot-%08d.json" % snapshot_id)
+        if not self._io.exists(p):
             raise EngineError(
                 "snapshot %d does not exist (expired or never written)"
                 % snapshot_id)
-        with open(p) as fh:
-            return json.load(fh)
+        return json.loads(self._io.read_text(p))
 
     def snapshot_ids(self) -> list:
         out = []
-        for name in os.listdir(self.meta_dir):
+        for name in self._io.listnames(self.meta_dir):
             if name.startswith("snapshot-") and name.endswith(".json"):
                 out.append(int(name[len("snapshot-"):-len(".json")]))
         return sorted(out)
@@ -352,22 +347,18 @@ class LakeTable:
                 for entry in files:
                     live.add(entry["path"])
         removed = 0
-        data_root = os.path.join(self.path, "data")
-        for dirpath, _, files in os.walk(data_root):
-            for f in files:
-                full = os.path.join(dirpath, f)
-                rel = os.path.relpath(full, self.path)
-                if rel not in live and f.endswith(".parquet"):
-                    os.remove(full)
-                    removed += 1
+        data_root = self._io.join(self.path, "data")
+        for full in self._io.walk_files(data_root):
+            rel = self._io.relpath(full, self.path)
+            if rel not in live and full.endswith(".parquet"):
+                self._io.delete(full)
+                removed += 1
         # prune now-empty snapshot dirs and expired manifests
-        for dirpath, _, _ in os.walk(data_root, topdown=False):
-            if dirpath != data_root and not os.listdir(dirpath):
-                os.rmdir(dirpath)
+        self._io.remove_empty_dirs(data_root)
         for sid in ids:
             if sid not in keep:
-                os.remove(os.path.join(self.meta_dir,
-                                       "snapshot-%08d.json" % sid))
+                self._io.delete(self._io.join(
+                    self.meta_dir, "snapshot-%08d.json" % sid))
         return removed
 
     def read(self, include_tombstones: bool = False,
@@ -545,7 +536,7 @@ class LakeTable:
 
         new_snap = m["snapshot_id"] + 1
         rel_dir = "data/s%08d" % new_snap
-        out_dir = os.path.join(self.path, rel_dir)
+        out_dir = self._io.join(self.path, rel_dir)
         # cow: one task per touched bucket (winners are bucket-grouped
         # already). delta: touched is unknown pre-write — hash the small
         # winner set across the session's parallelism instead
@@ -557,8 +548,8 @@ class LakeTable:
          .parquet(out_dir))
 
         written = {
-            int(os.path.basename(d).split("=", 1)[1])
-            for d in glob.glob(os.path.join(out_dir, "bucket=*"))}
+            int(self._io.basename(d).split("=", 1)[1])
+            for d in self._io.glob(self._io.join(out_dir, "bucket=*"))}
         if touched is None:
             # delta mode: the written directories ARE the touched set
             touched = sorted(written)
@@ -582,9 +573,9 @@ class LakeTable:
         cur_schema_id = m["schema_id"]
         for b in touched:
             paths = [
-                os.path.relpath(p, self.path)
-                for p in glob.glob(
-                    os.path.join(out_dir, "bucket=%d" % b, "*.parquet"))
+                self._io.relpath(p, self.path)
+                for p in self._io.glob(self._io.join(
+                    out_dir, "bucket=%d" % b, "*.parquet"))
             ]
             if mode == "delta":
                 new_buckets[str(b)] = list(m["buckets"].get(str(b), [])) + [
@@ -660,16 +651,16 @@ class LakeTable:
         bucket_expr = F.pmod(F.xxhash64(F.col(m["key"])),
                              F.lit(m["num_buckets"])).cast("int")
         new_snap = m["snapshot_id"] + 1
-        out_dir = os.path.join(self.path, "data/s%08d" % new_snap)
+        out_dir = self._io.join(self.path, "data/s%08d" % new_snap)
         (resolved.withColumn("bucket", bucket_expr)
          .repartition(len(target), "bucket")
          .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
         new_buckets = dict(m["buckets"])
         for b in target:
             paths = [
-                os.path.relpath(p, self.path)
-                for p in glob.glob(
-                    os.path.join(out_dir, "bucket=%d" % b, "*.parquet"))
+                self._io.relpath(p, self.path)
+                for p in self._io.glob(self._io.join(
+                    out_dir, "bucket=%d" % b, "*.parquet"))
             ]
             new_buckets[str(b)] = [
                 {"path": p, "schema_id": m["schema_id"]} for p in paths]

@@ -45,13 +45,12 @@ append and its own downstream commit.
 
 from __future__ import annotations
 
-import glob
-import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsio import io_for
 from ..functions.text import doc_fingerprint
 
 
@@ -64,10 +63,14 @@ class _JournaledIndex:
                  num_buckets: int = 64):
         self.spark = spark
         self.path = path
+        # metadata/journal IO follows the path's scheme (hdfs://, s3a://,
+        # file:/ -> Hadoop FileSystem API; plain paths -> os level) so the
+        # index can live on the same store as its parquet (fsio docstring)
+        self._io = io_for(spark, path)
         self.num_buckets = num_buckets
 
     # batch ids become path components under _journal/ — a '/' or '..'
-    # would write outside the journal root and break the os.listdir
+    # would write outside the journal root and break the journal-dir
     # discovery in prune_journal (ADVICE r4)
     _BATCH_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
 
@@ -80,15 +83,15 @@ class _JournaledIndex:
         return batch_id
 
     def _journal_dir(self, batch_id: str) -> str:
-        return os.path.join(self.path, "_journal", f"batch={batch_id}")
+        return self._io.join(self.path, "_journal", f"batch={batch_id}")
 
     def _journal_committed(self, batch_id: str) -> bool:
-        return os.path.exists(
-            os.path.join(self._journal_dir(batch_id), "_SUCCESS"))
+        return self._io.exists(
+            self._io.join(self._journal_dir(batch_id), "_SUCCESS"))
 
     def _indexed_marker(self, batch_id: str) -> str:
-        return os.path.join(self.path, "_journal",
-                            f"batch={batch_id}._indexed")
+        return self._io.join(self.path, "_journal",
+                             f"batch={batch_id}._indexed")
 
     def prune_journal(self, keep_last: int = 8) -> list:
         """Delete journal entries beyond the ``keep_last`` most recent
@@ -101,31 +104,26 @@ class _JournaledIndex:
         behind otherwise). Only fully-indexed entries (marker present)
         are eligible; an interrupted batch keeps its journal until its
         replay completes."""
-        import shutil
-
         if keep_last < 0:
             raise ValueError("keep_last must be >= 0")
-        root = os.path.join(self.path, "_journal")
-        if not os.path.isdir(root):
+        root = self._io.join(self.path, "_journal")
+        if not self._io.isdir(root):
             return []
-        done = [d for d in os.listdir(root)
+        done = [d for d in self._io.listnames(root)
                 if d.startswith("batch=") and not d.endswith("._indexed")
-                and os.path.exists(os.path.join(root, d + "._indexed"))]
-        done.sort(key=lambda d: os.path.getmtime(os.path.join(root, d)))
+                and self._io.exists(self._io.join(root, d + "._indexed"))]
+        done.sort(key=lambda d: self._io.getmtime(self._io.join(root, d)))
         pruned = []
         for d in done[:max(len(done) - keep_last, 0)]:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-            marker = os.path.join(root, d + "._indexed")
-            if os.path.exists(marker):
-                os.remove(marker)
+            self._io.delete(self._io.join(root, d), recursive=True)
+            marker = self._io.join(root, d + "._indexed")
+            if self._io.exists(marker):
+                self._io.delete(marker)
             pruned.append(d.split("=", 1)[1])
         return pruned
 
-    @staticmethod
-    def _touch(path: str) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w"):
-            pass
+    def _touch(self, path: str) -> None:
+        self._io.touch(path)
 
 
 class FingerprintIndex(_JournaledIndex):
@@ -133,7 +131,7 @@ class FingerprintIndex(_JournaledIndex):
         return F.pmod(col, F.lit(self.num_buckets)).cast("int")
 
     def _exists(self) -> bool:
-        return bool(glob.glob(os.path.join(self.path, "bucket=*")))
+        return bool(self._io.glob(self._io.join(self.path, "bucket=*")))
 
     def _append_to_index(self, fresh: DataFrame) -> None:
         (fresh
@@ -163,7 +161,7 @@ class FingerprintIndex(_JournaledIndex):
             # authoritative — finish the index append if the crash
             # landed between journal commit and append
             fresh = self.spark.read.parquet(self._journal_dir(batch_id))
-            if not os.path.exists(self._indexed_marker(batch_id)):
+            if not self._io.exists(self._indexed_marker(batch_id)):
                 self._append_to_index(fresh.select("fingerprint", id_col))
                 self._touch(self._indexed_marker(batch_id))
             return (df.join(fresh.select(id_col), id_col, "left_semi")
@@ -252,8 +250,8 @@ class MinHashIndex(_JournaledIndex):
         self.seed = seed
         self.max_bucket_size = (DEFAULT_MAX_BUCKET if max_bucket_size
                                 is None else max_bucket_size)
-        self._bands_path = os.path.join(path, "bands")
-        self._docs_path = os.path.join(path, "docs")
+        self._bands_path = self._io.join(path, "bands")
+        self._docs_path = self._io.join(path, "docs")
         self._check_params()
 
     # probe compatibility: an index built with one parameter set is
@@ -265,27 +263,26 @@ class MinHashIndex(_JournaledIndex):
     def _check_params(self) -> None:
         import json
 
-        p = os.path.join(self.path, "_params.json")
+        p = self._io.join(self.path, "_params.json")
         mine = {k: getattr(self, k) for k in self._PARAMS}
-        if os.path.exists(p):
-            with open(p) as fh:
-                stored = json.load(fh)
+        if self._io.exists(p):
+            stored = json.loads(self._io.read_text(p))
             if stored != mine:
                 raise ValueError(
                     "MinHashIndex at %s was built with %s — reopening "
                     "with %s would probe with incompatible band keys"
                     % (self.path, stored, mine))
         else:
-            os.makedirs(self.path, exist_ok=True)
-            with open(p, "w") as fh:
-                json.dump(mine, fh)
+            self._io.mkdirs(self.path)
+            self._io.write_text_atomic(p, json.dumps(mine))
 
     def _exists(self) -> bool:
-        return bool(glob.glob(os.path.join(self._bands_path, "bucket=*")))
+        return bool(self._io.glob(
+            self._io.join(self._bands_path, "bucket=*")))
 
     def _journal_committed(self, batch_id: str) -> bool:
-        return os.path.exists(
-            os.path.join(self._journal_dir(batch_id), "_COMMIT"))
+        return self._io.exists(
+            self._io.join(self._journal_dir(batch_id), "_COMMIT"))
 
     def _key_bucket(self, col) -> F.Column:
         return F.pmod(F.col(col) if isinstance(col, str) else col,
@@ -343,9 +340,9 @@ class MinHashIndex(_JournaledIndex):
             self._check_batch_id(batch_id)
         if batch_id is not None and self._journal_committed(batch_id):
             jd = self._journal_dir(batch_id)
-            docs = self.spark.read.parquet(os.path.join(jd, "docs"))
-            if not os.path.exists(self._indexed_marker(batch_id)):
-                keys = self.spark.read.parquet(os.path.join(jd, "bands"))
+            docs = self.spark.read.parquet(self._io.join(jd, "docs"))
+            if not self._io.exists(self._indexed_marker(batch_id)):
+                keys = self.spark.read.parquet(self._io.join(jd, "bands"))
                 self._append(keys, docs, id_col)
                 self._touch(self._indexed_marker(batch_id))
             return (df.join(docs.select(id_col), id_col, "left_semi")
@@ -408,13 +405,15 @@ class MinHashIndex(_JournaledIndex):
         if batch_id is not None:
             jd = self._journal_dir(batch_id)
             surv_keys.write.mode("overwrite").parquet(
-                os.path.join(jd, "bands"))
+                self._io.join(jd, "bands"))
             surv_docs.write.mode("overwrite").parquet(
-                os.path.join(jd, "docs"))
+                self._io.join(jd, "docs"))
             # commit point: one atomic marker AFTER both journal writes
-            self._touch(os.path.join(jd, "_COMMIT"))
-            surv_keys = self.spark.read.parquet(os.path.join(jd, "bands"))
-            surv_docs = self.spark.read.parquet(os.path.join(jd, "docs"))
+            self._touch(self._io.join(jd, "_COMMIT"))
+            surv_keys = self.spark.read.parquet(
+                self._io.join(jd, "bands"))
+            surv_docs = self.spark.read.parquet(
+                self._io.join(jd, "docs"))
         self._append(surv_keys, surv_docs, id_col)
         if batch_id is not None:
             self._touch(self._indexed_marker(batch_id))
