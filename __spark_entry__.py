@@ -42,6 +42,7 @@ from embulk_filter_column_spark.cdc.wal import WalReader
 from embulk_filter_column_spark.functions.text import (
     TOKEN_PATTERN,
     _LANG_MARKERS,
+    _SCRIPT_RULES,
     _STOPWORDS,
 )
 from embulk_filter_column_spark.operators.dedup import (
@@ -215,8 +216,11 @@ _JACCARD_PAIRS_SQL = f"""
 
 
 def _sql_lang_id(c: str) -> str:
-    """DuckDB CASE twin of functions.text.lang_id (same tie priority:
-    dict order en, de, fr, es, pt)."""
+    """DuckDB CASE twin of functions.text.lang_id: the Unicode-script
+    integer-ratio rules first (same literal character classes, same
+    count·k ≥ nonws·m comparisons — _SCRIPT_RULES is the single source
+    of truth), then the Latin marker vote (same tie priority: dict
+    order en, de, fr, es, pt)."""
     toks = _TOKS_SQL.format(c=c)
     hits = {
         lang: ("len(list_filter(%s, x -> x IN (%s)))"
@@ -227,7 +231,14 @@ def _sql_lang_id(c: str) -> str:
     whens = " ".join(
         "WHEN %s = __best AND __best > 0 THEN '%s'" % (hits[lang], lang)
         for lang in _LANG_MARKERS)
-    return ("CASE %s ELSE 'und' END" % whens).replace("__best", best)
+    latin = ("CASE %s ELSE 'und' END" % whens).replace("__best", best)
+    nonws = "len(regexp_extract_all(%s, '\\S'))" % c
+    script_whens = " ".join(
+        "WHEN %s > 0 AND len(regexp_extract_all(%s, '%s')) * %d >= "
+        "%s * %d THEN '%s'"
+        % (nonws, c, cls, num, nonws, den, lang)
+        for lang, cls, num, den in _SCRIPT_RULES)
+    return "CASE %s ELSE %s END" % (script_whens, latin)
 
 
 # ---------------------------------------------------------------------------
@@ -921,10 +932,36 @@ def q_text_token_counts(spark, sf_dir):
     return d.select("doc_id", "n_tokens", "n_bpe_tokens")
 
 
+# planted non-Latin docs for the script-aware language router
+# (VERDICT r4 item 3) — no single quotes, so the SQL literal embedding
+# is verbatim; 800007 is majority-Latin with a trace of han (must fall
+# through to the marker vote)
+_SCRIPT_DOCS = [
+    (800001, "日本語のテキストです。東京で書かれた文章と検索の話。"),
+    (800002, "这是一段中文文本，关于搜索引擎和数据处理的内容。"),
+    (800003, "한국어 텍스트입니다 서울에서 작성된 검색 문서"),
+    (800004, "Это русский текст о поисковых системах и данных."),
+    (800005, "هذا نص عربي عن محركات البحث والبيانات الكبيرة"),
+    (800006, "यह हिंदी में लिखा गया पाठ है जो खोज इंजन के बारे में है"),
+    (800007, "mixed 混合 content with mostly english words here okay"),
+]
+
+_SCRIPT_DOCS_SQL = " UNION ALL ".join(
+    "SELECT CAST(%d AS BIGINT) AS doc_id, '%s' AS text" % (i, t)
+    for i, t in _SCRIPT_DOCS)
+
+
 def q_text_lang_id(spark, sf_dir):
+    """Language ID over documents plus planted CJK / Cyrillic / Arabic /
+    Devanagari docs: the Unicode-script integer-ratio rules route the
+    non-Latin scripts (ja/ko/zh/ru/ar/hi), Latin text falls through to
+    the marker-word vote — both stages mirrored literally in the SQL
+    twin (_sql_lang_id builds from the same _SCRIPT_RULES table)."""
     _utc(spark)
-    d = annotate_text(_load(spark, sf_dir, "documents"))
-    return d.select("doc_id", "lang_pred")
+    d = (_load(spark, sf_dir, "documents").select("doc_id", "text")
+         .unionByName(spark.createDataFrame(
+             _SCRIPT_DOCS, "doc_id long, text string")))
+    return annotate_text(d).select("doc_id", "lang_pred")
 
 
 def q_text_quality(spark, sf_dir):
@@ -1494,7 +1531,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lang_id": f"""
             SELECT doc_id, {_sql_lang_id('text')} AS lang_pred
-            FROM documents
+            FROM (SELECT doc_id, text FROM documents
+                  UNION ALL {_SCRIPT_DOCS_SQL})
         """,
         "text_quality": f"""
             WITH base AS (

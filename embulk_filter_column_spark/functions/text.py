@@ -68,10 +68,37 @@ def quality_score(col) -> Column:
     return F.round(F.least(raw, F.lit(1.0)), 4)
 
 
+# Unicode-script character classes (BMP literal ranges — identical
+# byte semantics in Java regex and RE2/DuckDB, no \p{Script} needed).
+# Checked IN ORDER: kana first (kana is unique to Japanese, while
+# Japanese text is often majority kanji — han alone means Chinese),
+# then the unambiguous single-script blocks.
+_SCRIPT_RULES = (
+    # (lang, char class, numerator mult, denominator mult):
+    #   count * num >= nonws * den  ⇔  ratio >= den/num
+    ("ja", "[぀-ヿ]", 20, 1),                       # kana ≥ 5%
+    ("ko", "[ᄀ-ᇿ가-힯]", 10, 3),          # hangul ≥ 30%
+    ("zh", "[㐀-䶿一-鿿]", 10, 3),          # han ≥ 30%
+    ("ru", "[Ѐ-ӿ]", 10, 3),                       # cyrillic ≥ 30%
+    ("ar", "[؀-ۿݐ-ݿ]", 10, 3),          # arabic ≥ 30%
+    ("hi", "[ऀ-ॿ]", 10, 3),                       # devanagari ≥ 30%
+)
+
+
 def lang_id(col) -> Column:
-    """Marker-word language heuristic: argmax over per-language marker
-    hit counts; 'und' when nothing matches."""
+    """Two-stage language heuristic (VERDICT r4 item 3): Unicode-script
+    character ratios route the non-Latin scripts first — kana → 'ja',
+    hangul → 'ko', han → 'zh', Cyrillic → 'ru', Arabic → 'ar',
+    Devanagari → 'hi' (script → its dominant web language, the standard
+    cheap router; CJK/Arabic/Cyrillic/Devanagari are the majority of a
+    real crawl and all returned 'und' under the marker-word vote
+    alone). Latin-script text falls through to the per-language
+    marker-word argmax; 'und' when nothing matches. All native
+    ``regexp_count`` — zero Python; the ratio tests are INTEGER
+    comparisons (count·k ≥ nonws·m), bit-identical across engines."""
     c = F.col(col) if isinstance(col, str) else col
+    nonws = F.regexp_count(c, F.lit(r"\S"))
+
     toks = tokens(c)
 
     def _marker_filter(words):
@@ -86,6 +113,11 @@ def lang_id(col) -> Column:
     expr = F.lit("und")
     for lang, s in reversed(scores):
         expr = F.when((s == best) & (best > 0), lang).otherwise(expr)
+    # script rules take precedence, first match wins
+    for lang, cls, num, den in reversed(_SCRIPT_RULES):
+        cnt = F.regexp_count(c, F.lit(cls))
+        expr = F.when((nonws > 0) & (cnt * num >= nonws * den),
+                      F.lit(lang)).otherwise(expr)
     return expr
 
 

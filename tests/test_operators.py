@@ -84,6 +84,45 @@ def test_annotate_text(spark, docs):
     assert 0.0 <= out[4]["quality"] <= 1.0
 
 
+def test_lang_id_script_routing(spark):
+    """Unicode-script ratios route non-Latin scripts before the Latin
+    marker vote: kana→ja (even when kanji dominates), hangul→ko,
+    han-without-kana→zh, Cyrillic→ru, Arabic→ar, Devanagari→hi; a
+    majority-Latin doc with a trace of han falls through to the
+    marker-word vote, and pure numbers/whitespace stay 'und'."""
+    from embulk_filter_column_spark.functions.text import lang_id
+    rows = [
+        (1, "日本語のテキストです。東京で書かれた文章と検索の話。"),
+        # majority kanji, but the kana particles mark it Japanese
+        (2, "東京都政府の発表による経済政策の概要です"),
+        (3, "这是一段中文文本，关于搜索引擎和数据处理的内容。"),
+        (4, "한국어 텍스트입니다 서울에서 작성된 검색 문서"),
+        (5, "Это русский текст о поисковых системах и данных."),
+        (6, "هذا نص عربي عن محركات البحث والبيانات الكبيرة"),
+        (7, "यह हिंदी में लिखा गया पाठ है जो खोज इंजन के बारे में है"),
+        (8, "the quick brown fox and the lazy dog with a ball"),
+        # trace of han inside majority-Latin text → marker vote wins
+        (9, "mixed 混合 content with mostly the english words and of"),
+        (10, "12345 67890 ..."),
+        (11, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["pred"]
+           for r in df.select("doc_id",
+                              lang_id("text").alias("pred")).collect()}
+    assert out[1] == "ja"
+    assert out[2] == "ja"
+    assert out[3] == "zh"
+    assert out[4] == "ko"
+    assert out[5] == "ru"
+    assert out[6] == "ar"
+    assert out[7] == "hi"
+    assert out[8] == "en"
+    assert out[9] == "en"
+    assert out[10] == "und"
+    assert out[11] == "und"
+
+
 def test_annotate_on_documents_table(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = annotate_text(df)
