@@ -434,6 +434,53 @@ def q_cdc_streaming_replay(spark, sf_dir):
                         "event_type", "value")
 
 
+def q_cdc_ingest_dedup(spark, sf_dir):
+    """Content dedup AT INGEST (CDCPipeline ``dedup_index``): the
+    documents table replays as a url-keyed changelog — every doc as url
+    u<id>, then MIRROR urls v<id> carrying the identical text for
+    id % 7 == 0 (mirror sites / re-serves), then deletes of u<id> for
+    id % 11 == 0. A persistent FingerprintIndex checks each batch's
+    upserts against all previously ACCEPTED content before the MERGE,
+    so every mirror is suppressed online (cross-BATCH via the bucketed
+    index probe, not any in-batch mechanism — chunks_per_batch=3 puts
+    originals and their mirrors in different batches). Deletes bypass
+    the index and tombstone their url. Batch order follows seq = url
+    order by construction, so acceptance == first-url-per-normalized-
+    text — plain SQL (rn = 1 over the norm-text partition), minus the
+    deleted urls."""
+    from embulk_filter_column_spark.operators.incremental import (
+        FingerprintIndex,
+    )
+
+    _utc(spark)
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    t0 = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    t1 = F.to_timestamp(F.lit("2026-01-02 00:00:00"))
+    url_u = F.format_string("u%09d", "doc_id")
+    orig = docs.select(
+        F.lit("I").alias("op"), F.col("doc_id").alias("seq"),
+        t0.alias("warc_ts"), url_u.alias("url"), "text")
+    mir = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.lit("I").alias("op"), (F.col("doc_id") + n).alias("seq"),
+        t0.alias("warc_ts"),
+        F.format_string("v%09d", "doc_id").alias("url"), "text")
+    dele = docs.where(F.col("doc_id") % 11 == 0).select(
+        F.lit("D").alias("op"), (F.col("doc_id") + 2 * n).alias("seq"),
+        t1.alias("warc_ts"), url_u.alias("url"),
+        F.lit(None).cast("string").alias("text"))
+    log = orig.unionByName(mir).unionByName(dele)
+    base = tempfile.mkdtemp(prefix="spark_graft_ingestdedup_")
+    write_wal(log, f"{base}/wal", chunk_rows=100)
+    idx = FingerprintIndex(spark, f"{base}/idx", num_buckets=16)
+    pipe = CDCPipeline(
+        spark, f"{base}/wal", f"{base}/lake", f"{base}/cp",
+        key="url", order=("warc_ts", "seq"), num_buckets=16,
+        chunks_per_batch=3, dedup_index=idx)
+    pipe.run()
+    return pipe.table().read().select("url", "text")
+
+
 def q_wal_offset_read(spark, sf_dir):
     """Chunked WAL + offset-range read (directory-pruned scan)."""
     _utc(spark)
@@ -1047,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_replay": q_cdc_merge_replay,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_streaming_replay": q_cdc_streaming_replay,
+        "cdc_ingest_dedup": q_cdc_ingest_dedup,
         "wal_offset_read": q_wal_offset_read,
         "cdc_sessionize": q_cdc_sessionize,
         "dedup_exact": q_dedup_exact,
@@ -1190,6 +1238,29 @@ def oracle_sql() -> dict[str, str]:
         "wal_offset_read": """
             SELECT event_id, user_id, event_type FROM events
             WHERE event_id >= 2000 AND event_id < 5000
+        """,
+        # ingest-time content dedup: acceptance == first url (batch
+        # order == url order by construction) per NORMALIZED text,
+        # minus the urls tombstoned by the trailing delete events
+        "cdc_ingest_dedup": f"""
+            WITH orig AS (
+                SELECT printf('u%09d', doc_id) AS url, text
+                FROM documents),
+            mir AS (
+                SELECT printf('v%09d', doc_id) AS url, text
+                FROM documents WHERE doc_id % 7 = 0),
+            allup AS (
+                SELECT url, text FROM orig
+                UNION ALL SELECT url, text FROM mir),
+            ranked AS (
+                SELECT url, text, row_number() OVER (
+                    PARTITION BY {_NORM_SQL.format(c='text')}
+                    ORDER BY url) AS rn
+                FROM allup)
+            SELECT url, text FROM ranked
+            WHERE rn = 1 AND url NOT IN (
+                SELECT printf('u%09d', doc_id) FROM documents
+                WHERE doc_id % 11 = 0)
         """,
         "cdc_sessionize": """
             WITH t AS (

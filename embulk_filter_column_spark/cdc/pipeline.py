@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from ..config import FilterConfig
 from ..errors import EngineError
@@ -57,13 +57,42 @@ class CDCPipeline:
         compact_after_deltas: int | None = None,
         sink=None,
         journal_path: str | None = None,
+        dedup_index=None,
+        dedup_text_col: str = "text",
     ):
         """``sink``: any object satisfying cdc.sink.Sink (plus
         ``exists()``/``create(schema)``/``schema()``) replaces the
         default manifest LakeTable — e.g. cdc.sink.IcebergSink on a
         cluster with the runtime jar. ``journal_path`` overrides where
         lineage/metrics parquet rows land (defaults to the lake path;
-        required notion when the sink is a catalog table name)."""
+        required notion when the sink is a catalog table name).
+
+        ``dedup_index``: content dedup AT INGEST — a persistent
+        ``operators.incremental`` index (FingerprintIndex for exact,
+        MinHashIndex for near-dup). Each batch's upserts are checked
+        against the full ingest history BEFORE the merge: an event
+        whose ``dedup_text_col`` duplicates anything previously
+        accepted (a mirror url carrying the same page, a re-crawl that
+        didn't change, boilerplate served under many urls) is
+        suppressed — the training-corpus dedup a 100 TB crawl ingest
+        must do online, not as an after-the-fact batch rescan. The
+        check rides the index's partition-pruned bucket probe (reads
+        k/B of the index for a batch touching k buckets, never the
+        corpus) and its crash-safe batch journal: the pipeline passes
+        its own batch id, so a crash-replayed batch returns the
+        journaled accept/reject decision and the merge stays
+        exactly-once end-to-end. Deletes and NULL-text events bypass
+        the index (a delete must always reach the lake; NULL text has
+        no content identity — the index would otherwise keep only one
+        NULL-text event per batch).
+
+        SEMANTIC NOTE: suppression is by CONTENT, across keys — a
+        later update of url A is dropped when its text duplicates url
+        B's accepted content, leaving A at its previous lake version.
+        That is the intended corpus semantics (one copy of each
+        content survives); pipelines that only want per-key change
+        suppression should key the index on (key, fingerprint)
+        upstream instead."""
         self.spark = spark
         self.reader = WalReader(spark, wal_path)
         self.lake_path = lake_path
@@ -100,6 +129,8 @@ class CDCPipeline:
         # (batch_id, engaged, n_hot) per processed batch — lets operators
         # and tests see when the skew path kicked in
         self.salt_log: list = []
+        self.dedup_index = dedup_index
+        self.dedup_text_col = dedup_text_col
         if config_schedule:
             self.schedule = sorted(
                 ((int(k), self._coerce(v)) for k, v in
@@ -139,6 +170,22 @@ class CDCPipeline:
                 "missing %s — keep them in `columns` or avoid dropping them"
                 % missing)
         return compiled.apply(df), compiled.output_schema
+
+    def _content_dedup(self, projected, batch_id: int):
+        """Suppress upserts whose ``dedup_text_col`` content the index
+        has already accepted (this batch's earlier keys included).
+        Deletes and NULL-text events are routed AROUND the index —
+        unioned back untouched. The index call is journaled under this
+        pipeline batch id, so crash replay reproduces the recorded
+        decision instead of re-deciding against a mutated index."""
+        text = F.col(self.dedup_text_col)
+        indexable = (F.upper(F.col("op")) != "D") & text.isNotNull()
+        bypass = projected.where(~indexable)
+        kept = self.dedup_index.dedup_and_update(
+            projected.where(indexable),
+            text_col=self.dedup_text_col, id_col=self.key,
+            batch_id="b%08d" % batch_id)
+        return kept.unionByName(bypass)
 
     def _table_schema(self, output_schema):
         """Lake schema = projected payload without the transient op flag."""
@@ -199,6 +246,8 @@ class CDCPipeline:
                 use_salts = self.auto_salt_n if hot else None
                 self.salt_log.append((batch_id, bool(hot), len(hot)))
             projected, out_schema = self._project(events, config)
+            if self.dedup_index is not None:
+                projected = self._content_dedup(projected, batch_id)
             lake = self._ensure_lake(out_schema)
             merge_kwargs = {"n_salts": use_salts}
             if self.merge_mode != "cow":

@@ -788,3 +788,110 @@ def test_lake_on_file_scheme_uri_end_to_end(spark, tmp_path):
     removed = lake.expire_snapshots(keep_last=1)
     assert removed > 0
     assert {r["url"]: r["seq"] for r in lake.read().collect()} == live
+
+
+def _dedup_wal(spark, path):
+    """Two chunks (chunk_rows=3): batch 1 plants urls a/b plus a
+    NULL-text url c; batch 2 plants a MIRROR of a's text under url m,
+    one fresh url d, and a delete of b."""
+    import datetime as dt
+
+    t1 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    t2 = dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc)
+    rows = [
+        ("I", 0, t1, "http://a", "alpha page content one"),
+        ("I", 1, t1, "http://b", "beta page content two"),
+        ("I", 2, t1, "http://c", None),
+        ("I", 3, t2, "http://m", "alpha page content one"),  # mirror of a
+        ("I", 4, t2, "http://d", "delta page content four"),
+        ("D", 5, t2, "http://b", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, seq long, warc_ts timestamp, url string, "
+              "text string")
+    return write_wal(df, path, chunk_rows=3)
+
+
+def test_content_dedup_at_ingest(spark, tmp_path):
+    """dedup_index suppresses cross-url content duplicates at ingest;
+    deletes and NULL-text events bypass the index."""
+    from embulk_filter_column_spark.operators.incremental import (
+        FingerprintIndex,
+    )
+
+    wal_dir = str(tmp_path / "wal")
+    assert _dedup_wal(spark, wal_dir) == 2
+    idx = FingerprintIndex(spark, str(tmp_path / "idx"), num_buckets=4)
+    pipe = CDCPipeline(spark, wal_dir, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), num_buckets=4,
+                       chunks_per_batch=1, dedup_index=idx)
+    results = pipe.run()
+    assert len(results) == 2
+
+    state = {r["url"]: r["text"] for r in pipe.table().read().collect()}
+    # m suppressed (mirror content), b deleted, c's NULL text ingested
+    assert state == {"http://a": "alpha page content one",
+                     "http://c": None,
+                     "http://d": "delta page content four"}
+
+
+def test_content_dedup_replay_is_exactly_once(spark, tmp_path):
+    """A second pipeline over the same WAL with a FRESH checkpoint and
+    lake but the SAME index must converge to the identical final state:
+    the index's batch journal replays the recorded accept/reject
+    decisions instead of re-deciding against the mutated index (which
+    would otherwise reject url a's content as already-seen)."""
+    from embulk_filter_column_spark.operators.incremental import (
+        FingerprintIndex,
+    )
+
+    wal_dir = str(tmp_path / "wal")
+    _dedup_wal(spark, wal_dir)
+    idx = FingerprintIndex(spark, str(tmp_path / "idx"), num_buckets=4)
+    first = CDCPipeline(spark, wal_dir, str(tmp_path / "lake1"),
+                        str(tmp_path / "cp1"), num_buckets=4,
+                        chunks_per_batch=1, dedup_index=idx)
+    first.run()
+    want = {r["url"]: r["text"] for r in first.table().read().collect()}
+
+    replay = CDCPipeline(spark, wal_dir, str(tmp_path / "lake2"),
+                         str(tmp_path / "cp2"), num_buckets=4,
+                         chunks_per_batch=1, dedup_index=idx)
+    replay.run()
+    got = {r["url"]: r["text"] for r in replay.table().read().collect()}
+    assert got == want
+    assert "http://a" in got
+
+
+def test_content_dedup_near_dup_index(spark, tmp_path):
+    """MinHashIndex at ingest suppresses NEAR-duplicate content (a
+    lightly edited mirror) that exact fingerprinting would accept."""
+    import datetime as dt
+
+    from embulk_filter_column_spark.operators.incremental import (
+        MinHashIndex,
+    )
+
+    t1 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    t2 = dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc)
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank every single morning in spring")
+    near = base.replace("spring", "summer")          # jaccard >> 0.8
+    rows = [("I", 0, t1, "http://orig", base),
+            ("I", 1, t1, "http://other",
+             "completely different page about spark query planning"),
+            ("I", 3, t2, "http://mirror", near)]
+    df = spark.createDataFrame(
+        rows, "op string, seq long, warc_ts timestamp, url string, "
+              "text string")
+    wal_dir = str(tmp_path / "wal")
+    write_wal(df, wal_dir, chunk_rows=3)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), num_buckets=4,
+                       num_hashes=16, bands=8, shingle_n=3,
+                       threshold=0.8)
+    pipe = CDCPipeline(spark, wal_dir, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), num_buckets=4,
+                       chunks_per_batch=1, dedup_index=idx)
+    pipe.run()
+    urls = {r["url"] for r in pipe.table().read().collect()}
+    assert urls == {"http://orig", "http://other"}
