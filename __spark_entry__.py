@@ -1059,6 +1059,42 @@ def q_web_url_normalize(spark, sf_dir):
                     normalize_url(messy).alias("url_norm"))
 
 
+def q_web_domain_stats(spark, sf_dir):
+    """Per-domain crawl curation scorecard (C4/RefinedWeb triage):
+    deterministic urls are minted from the documents table's source
+    column (one domain per source, www. + path + query noise included
+    to exercise the domain extraction), then `domain_stats` aggregates
+    docs / distinct urls / mean token count per domain in one
+    map-side-combining pass. The oracle reruns url_domain_sql over the
+    same construction."""
+    from embulk_filter_column_spark.operators.curation import (
+        domain_stats,
+    )
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    url = F.format_string(
+        "https://www.%s.example.com/d/%d?b=2&a=1", "source", "doc_id")
+    return domain_stats(d.select(url.alias("url"), "text"))
+
+
+def q_web_domain_filter(spark, sf_dir):
+    """Domain blocklist filter over the same minted urls — a pure
+    pushed-down isin predicate on the extracted domain (no join, no
+    shuffle)."""
+    from embulk_filter_column_spark.operators.curation import (
+        filter_domains,
+    )
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    url = F.format_string(
+        "https://www.%s.example.com/d/%d?b=2&a=1", "source", "doc_id")
+    return filter_domains(
+        d.select("doc_id", url.alias("url")),
+        blocklist=["src1.example.com", "src3.example.com"])
+
+
 def q_multimodal_features(spark, sf_dir):
     """mapInPandas media feature extraction (deterministic fake decoder;
     the metadata columns are oracle-checked, the feature vector is pinned
@@ -1122,6 +1158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_extract_html": q_text_extract_html,
         "web_url_normalize": q_web_url_normalize,
+        "web_domain_stats": q_web_domain_stats,
+        "web_domain_filter": q_web_domain_filter,
         "text_token_counts": q_text_token_counts,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -1137,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
     from embulk_filter_column_spark.functions.web import (
         extract_text_sql,
         normalize_url_sql,
+        url_domain_sql,
     )
 
     toks = _TOKS_SQL.format(c="text")
@@ -1155,6 +1194,28 @@ def oracle_sql() -> dict[str, str]:
                 " || '.COM:80/Path/' || CAST(doc_id AS VARCHAR)"
                 " || '/?b=2&a=1#frag'")} AS url_norm
             FROM documents
+        """,
+        "web_domain_stats": f"""
+            WITH u AS (
+                SELECT printf('https://www.%s.example.com/d/%d?b=2&a=1',
+                              source, doc_id) AS url, text
+                FROM documents)
+            SELECT {url_domain_sql('url')} AS domain,
+                   count(*) AS n_docs,
+                   count(DISTINCT url) AS n_urls,
+                   round(avg(len({_TOKS_SQL.format(c='text')})), 4)
+                       AS mean_tokens
+            FROM u GROUP BY 1
+        """,
+        "web_domain_filter": f"""
+            WITH u AS (
+                SELECT doc_id,
+                       printf('https://www.%s.example.com/d/%d?b=2&a=1',
+                              source, doc_id) AS url
+                FROM documents)
+            SELECT doc_id, url FROM u
+            WHERE {url_domain_sql('url')} NOT IN
+                  ('src1.example.com', 'src3.example.com')
         """,
         "filter_keep": """
             SELECT event_id, event_type AS etype, value FROM events

@@ -197,6 +197,7 @@ BENCH_QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_groups",
     "dedup_incremental",
+    "dedup_incremental_minhash",
     "dedup_embedding",
     "similarity_bruteforce",
     "similarity_lsh",
@@ -215,6 +216,7 @@ BENCH_QUERIES = (
     "text_lang_id",
     "multimodal_features",
     "cdc_merge_replay",
+    "cdc_ingest_dedup",
 )
 
 

@@ -107,6 +107,28 @@ def normalize_url(col) -> Column:
     return F.when(scheme == "", raw).otherwise(normalized)
 
 
+def url_domain(col) -> Column:
+    """Registrable-domain heuristic for crawl curation grouping:
+    lowercased host with the port and a leading ``www.`` stripped.
+    (True eTLD+1 needs the public-suffix list — a data file, not an
+    algorithm; the www/port heuristic groups correctly for the
+    overwhelming majority of crawl hosts without the dependency, and a
+    PSL-aware variant can swap in behind the same column contract.)
+    Scheme-less input yields ``''`` — same non-guessing stance as
+    ``normalize_url``. Native regex; ``url_domain_sql`` is the twin."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.lower(F.regexp_extract(
+        F.trim(c), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_domain_sql(expr: str) -> str:
+    """DuckDB twin of url_domain (kept in lockstep)."""
+    host = (f"lower(regexp_extract(trim({expr}), "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1))")
+    return f"regexp_replace({host}, '^www\\.', '')"
+
+
 def normalize_url_sql(expr: str) -> str:
     """DuckDB twin of normalize_url (kept in lockstep)."""
     u = f"regexp_replace(trim({expr}), '#.*$', '')"

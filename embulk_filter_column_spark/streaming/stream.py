@@ -28,12 +28,21 @@ class StreamingCDC:
                  key: str = "url", order: tuple = ("warc_ts", "seq"),
                  num_buckets: int = 64,
                  max_files_per_trigger: int | None = None,
-                 merge_mode: str = "cow"):
+                 merge_mode: str = "cow",
+                 dedup_index=None, dedup_text_col: str = "text"):
         """``merge_mode="delta"`` is the natural fit for streaming: a
         trickle of small micro-batches appends O(batch) delta files per
         epoch instead of rewriting every touched bucket, with
         ``table().compact()`` as the maintenance pass (see
-        LakeTable.merge)."""
+        LakeTable.merge).
+
+        ``dedup_index`` enables the same content-dedup-at-ingest as
+        the batch pipeline (CDCPipeline docstring): each micro-batch's
+        upserts are checked against all previously accepted content
+        before the merge. The index journal keys on the streaming
+        epoch id — epoch replay after a crash returns the journaled
+        accept/reject decision, composing with the lake's idempotent
+        commits to keep exactly-once."""
         self.spark = spark
         self.merge_mode = merge_mode
         self.wal_path = wal_path
@@ -52,7 +61,8 @@ class StreamingCDC:
             self.spark, self.wal_path, self.lake_path,
             os.path.join(self.checkpoint_path, "_sink_cp"),
             filter_config=self.config, key=self.key, order=self.order,
-            num_buckets=self.num_buckets)
+            num_buckets=self.num_buckets,
+            dedup_index=dedup_index, dedup_text_col=dedup_text_col)
 
     def _stream(self) -> DataFrame:
         static = self.spark.read.parquet(self.wal_path)
@@ -69,6 +79,8 @@ class StreamingCDC:
         # _project caches the compiled rule tree per (config, schema), so
         # a steady-state stream compiles once, not once per epoch
         projected, out_schema = self._helper._project(batch_df, self.config)
+        if self._helper.dedup_index is not None:
+            projected = self._helper._content_dedup(projected, epoch_id + 1)
         lake = self._helper._ensure_lake(out_schema)
         # epoch ids are 0-based and replayed on recovery; the lake skips
         # batch ids it has already committed

@@ -1366,3 +1366,61 @@ def test_fingerprint_index_journal_pruning(spark, tmp_path):
     for bad in ("a/b", "..", "x..y/", "", "b\x00"):
         with pytest.raises(ValueError, match="batch_id"):
             idx.dedup_and_update(b0, batch_id=bad)
+
+
+def test_domain_stats_and_filter(spark):
+    from embulk_filter_column_spark.operators import (
+        domain_stats,
+        filter_domains,
+    )
+
+    rows = [
+        (1, "https://www.News.com:443/a?x=1", "alpha beta gamma"),
+        (2, "https://news.com/b", "delta epsilon"),
+        (3, "http://blog.example.org/post/1", "zeta eta theta iota"),
+        (4, "https://news.com/b", "kappa"),          # same url as 2
+        (5, "not a url at all", "lambda mu"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    stats = {r["domain"]: r for r in domain_stats(df).collect()}
+    # www. and :443 stripped, host case folded → one news.com group
+    assert stats["news.com"]["n_docs"] == 3
+    assert stats["news.com"]["n_urls"] == 2
+    assert stats["blog.example.org"]["n_docs"] == 1
+    assert abs(stats["blog.example.org"]["mean_tokens"] - 4.0) < 1e-9
+    # scheme-less rows surface under '' instead of disappearing
+    assert stats[""]["n_docs"] == 1
+
+    blocked = filter_domains(df, blocklist=["news.com"])
+    assert sorted(r["doc_id"] for r in blocked.collect()) == [3, 5]
+    allowed = filter_domains(df, allowlist=["news.com"])
+    assert sorted(r["doc_id"] for r in allowed.collect()) == [1, 2, 4]
+
+    # DataFrame-shaped list → broadcast semi/anti join, same answers
+    bl = spark.createDataFrame([("news.com",)], ["domain"])
+    got = sorted(r["doc_id"]
+                 for r in filter_domains(df, blocklist=bl).collect())
+    assert got == [3, 5]
+
+    with pytest.raises(ValueError):
+        filter_domains(df)
+    with pytest.raises(ValueError):
+        filter_domains(df, blocklist=["a"], allowlist=["b"])
+
+
+def test_filter_domains_pushes_predicate_to_scan(spark, tmp_path):
+    """The isin-list form must fold into the parquet scan (no join, no
+    shuffle, no Python) — the property that makes a blocklist free at
+    100 TB."""
+    from embulk_filter_column_spark.operators import filter_domains
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "https://s%d.example.com/x" % (i % 4)) for i in range(100)],
+        ["doc_id", "url"]).write.parquet(p)
+    out = filter_domains(spark.read.parquet(p),
+                         blocklist=["s1.example.com"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan
+    assert out.count() == 75

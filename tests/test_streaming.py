@@ -206,3 +206,38 @@ def test_streaming_delta_mode_matches_oracle(spark, wal, tmp_path):
     assert not table._has_delta(table.head())
     assert sorted((r["url"], r["text"])
                   for r in table.read().collect()) == got
+
+
+def test_streaming_content_dedup_at_ingest(spark, tmp_path):
+    """The streaming path shares the batch pipeline's dedup_index seam:
+    a mirror url arriving in a LATER micro-batch is suppressed by the
+    persistent index; deletes and NULL-text events bypass it."""
+    import datetime as dt
+
+    from embulk_filter_column_spark.operators import FingerprintIndex
+
+    t1 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    t2 = dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc)
+    rows = [
+        ("I", 0, t1, "http://a", "alpha page content one"),
+        ("I", 1, t1, "http://b", "beta page content two"),
+        ("I", 2, t1, "http://c", None),
+        ("I", 3, t2, "http://m", "alpha page content one"),  # mirror
+        ("I", 4, t2, "http://d", "delta page content four"),
+        ("D", 5, t2, "http://b", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, seq long, warc_ts timestamp, url string, "
+              "text string")
+    wal_dir = str(tmp_path / "wal")
+    write_wal(df, wal_dir, chunk_rows=3)
+    idx = FingerprintIndex(spark, str(tmp_path / "idx"), num_buckets=4)
+    job = StreamingCDC(spark, wal_dir, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), num_buckets=4,
+                       max_files_per_trigger=1, merge_mode="delta",
+                       dedup_index=idx)
+    job.run_available_now()
+    state = {r["url"]: r["text"] for r in job.table().read().collect()}
+    assert state == {"http://a": "alpha page content one",
+                     "http://c": None,
+                     "http://d": "delta page content four"}
