@@ -869,6 +869,28 @@ def q_text_dedup_lines(spark, sf_dir):
     return dedup_corpus_lines(planted, min_count=3)
 
 
+def q_text_dedup_substrings(spark, sf_dir):
+    """Lee-et-al-style corpus substring dedup at window_tokens=8: a
+    13-token syndicated sentence planted into EVERY doc (all its
+    8-token windows repeat corpus-wide → every covered token removed
+    everywhere, C4-style no-survivor semantics) plus a unique per-doc
+    tail token (kept); windows bridging each doc's own text into the
+    planted span are unique per doc and stay. The md5-keyed
+    count/semi-join/cover-mask plan is pinned byte-for-byte on the
+    rebuilt text by the SQL twin."""
+    from embulk_filter_column_spark.operators import dedup_substrings
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" this content is syndicated across partner"
+                       " sites under license agreement every day tail"),
+                 F.col("doc_id").cast("string")).alias("text"))
+    return dedup_substrings(planted, window_tokens=8, min_count=3)
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment (hash-derived uniform,
     layout-independent — a repartitioned rerun yields the same split,
@@ -1150,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall": q_similarity_recall,
         "text_decontaminate": q_text_decontaminate,
         "text_dedup_lines": q_text_dedup_lines,
+        "text_dedup_substrings": q_text_dedup_substrings,
         "corpus_split": q_corpus_split,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -1567,6 +1590,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept GROUP BY doc_id)
             SELECT p.doc_id, coalesce(a.text_clean, '') AS text_clean
             FROM planted p LEFT JOIN agg a USING (doc_id)
+        """,
+        "text_dedup_substrings": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' this content is syndicated across'
+                       || ' partner sites under license agreement'
+                       || ' every day tail' || CAST(doc_id AS VARCHAR)
+                           AS text
+                FROM documents),
+            toked AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text),
+                                                      '\\s+'),
+                                   x -> x <> '') AS t
+                FROM planted),
+            win AS (
+                SELECT doc_id, u.s AS s, u.h AS h
+                FROM (SELECT doc_id, unnest(
+                          CASE WHEN len(t) >= 8 THEN
+                              [{'s': i, 'h': md5(array_to_string(
+                                   t[i+1:i+8], ' '))}
+                               FOR i IN range(len(t) - 7)]
+                          ELSE [] END) AS u
+                      FROM toked)),
+            flagged AS (
+                SELECT h FROM win GROUP BY 1 HAVING count(*) >= 3),
+            st AS (
+                SELECT doc_id, list(s) AS ss FROM win
+                WHERE h IN (SELECT h FROM flagged)
+                GROUP BY doc_id),
+            j AS (
+                SELECT toked.doc_id, t,
+                       coalesce(st.ss, CAST([] AS BIGINT[])) AS ss
+                FROM toked LEFT JOIN st USING (doc_id))
+            SELECT doc_id,
+                   array_to_string(
+                       [t[i+1] FOR i IN range(len(t))
+                        IF len(list_filter(ss,
+                            s -> s <= i AND i < s + 8)) = 0], ' ')
+                       AS text_clean
+            FROM j
         """,
         "corpus_split": f"""
             SELECT doc_id,

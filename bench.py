@@ -207,6 +207,7 @@ BENCH_QUERIES = (
     "text_decontaminate",
     "corpus_shuffle",
     "text_dedup_lines",
+    "text_dedup_substrings",
     "text_extract_html",
     "text_pii_redact",
     "text_repetition",

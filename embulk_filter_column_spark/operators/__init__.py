@@ -14,6 +14,7 @@ from .sampling import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     dedup_corpus_lines,
+    dedup_substrings,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_band_keys,

@@ -146,6 +146,85 @@ def dedup_corpus_lines(df: DataFrame, text_col: str = "text",
                      .alias(out_col)))
 
 
+def dedup_substrings(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     window_tokens: int = 50,
+                     min_count: int = 2,
+                     out_col: str = "text_clean") -> DataFrame:
+    """Corpus-level SUBSTRING deduplication — the token-window
+    generalization of ``dedup_corpus_lines`` (after Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes repeated ≥50-token spans): every token covered by some
+    ``window_tokens``-token window whose exact text occurs in ≥
+    ``min_count`` window instances corpus-wide is removed from EVERY
+    doc (the same no-survivor C4-style semantics as the line pass —
+    templated spans, syndicated paragraphs, licence blocks), and each
+    doc's surviving tokens are rejoined in order. Docs shorter than
+    ``window_tokens`` have no windows and pass through; NULL text
+    stays NULL. Tokenization is the whitespace split (original case
+    kept — the output is training text); inter-token whitespace is
+    normalized to single spaces by the rebuild, as in any
+    token-stream pass.
+
+    Scale design (the suffix-array construction of the paper is a
+    shared-memory algorithm; rolling windows are its shuffle-friendly
+    equivalent): window keys are ``md5`` of the window text — 128-bit,
+    collision-negligible at 10^13 windows — and the occurrence count
+    is a map-side-combining groupBy on that fixed-width key, so a
+    boilerplate span repeated 10^9 times collapses to one row per map
+    task (the window-function formulation would ship every instance
+    into one task — same skew note as the line pass). Flagged
+    occurrences come back via a left-semi join on the key (build side
+    is the DISTINCT flagged keys — no skew concentration), fold to one
+    start-position list per doc, and the rebuild is a per-row
+    ``filter(tokens, (tok, i) -> no flagged window covers i)`` — the
+    cover test is O(starts/doc) per token, bounded by tokens/doc. Two
+    deliberate scans of the window projection (counts, then
+    occurrences), one reassembly shuffle keyed by doc."""
+    if window_tokens < 1:
+        raise ValueError("window_tokens must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    n = window_tokens
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+    toked = df.select(F.col(id_col), toks.alias("_t"))
+    # sequence(0, size-n) would count DOWN for short docs — gate it
+    starts_rng = F.when(
+        F.size("_t") >= n,
+        F.sequence(F.lit(0), F.size("_t") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    win = toked.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            starts_rng,
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_t"),
+                                                     i + 1, n)))))
+        .alias("_s", "_h"))
+    flagged = (win.groupBy("_h")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") >= min_count)
+               .select("_h"))
+    doc_starts = (win.join(flagged, "_h", "left_semi")
+                  .groupBy(id_col)
+                  .agg(F.collect_list("_s").alias("_starts")))
+    base = df.select(F.col(id_col), F.col(text_col).alias("_orig"))
+    joined = (base.join(doc_starts, id_col, "left")
+              .withColumn("_starts", F.coalesce(
+                  F.col("_starts"),
+                  F.array().cast("array<int>"))))
+    toks_orig = F.filter(F.split(F.trim(F.col("_orig")), r"\s+"),
+                         lambda x: x != "")
+    kept = F.filter(
+        toks_orig,
+        lambda x, i: ~F.exists(
+            F.col("_starts"), lambda s: (s <= i) & (i < s + n)))
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("_orig").isNull(), F.lit(None).cast("string"))
+         .otherwise(F.concat_ws(" ", kept)).alias(out_col))
+
+
 # ---------------------------------------------------------------------------
 # bucket → pair generation (shared by every LSH blocker)
 

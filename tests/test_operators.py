@@ -1424,3 +1424,73 @@ def test_filter_domains_pushes_predicate_to_scan(spark, tmp_path):
     assert "Exchange" not in plan and "Join" not in plan
     assert "EvalPython" not in plan
     assert out.count() == 75
+
+
+def test_dedup_substrings_removes_repeated_spans(spark):
+    """Token windows repeated corpus-wide are removed from every doc
+    (no-survivor C4 semantics, after Lee et al. substring dedup);
+    unique text, short docs, and NULL text pass through."""
+    from embulk_filter_column_spark.operators import dedup_substrings
+
+    span = "one two three four five six"           # 6 tokens
+    rows = [
+        (1, f"intro {span} outro1"),
+        (2, f"start {span} outro2"),
+        (3, f"prefix text {span}"),
+        (4, "a completely unrelated document body here"),
+        (5, "tiny doc"),                            # < window, no windows
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text_clean"]
+           for r in dedup_substrings(df, window_tokens=6,
+                                     min_count=3).collect()}
+    # the 6-token span occurs 3x -> its tokens vanish everywhere;
+    # bridging windows (e.g. "intro one two three four five") occur
+    # once each and flag nothing
+    assert out[1] == "intro outro1"
+    assert out[2] == "start outro2"
+    assert out[3] == "prefix text"
+    assert out[4] == "a completely unrelated document body here"
+    assert out[5] == "tiny doc"
+    assert out[6] is None
+
+
+def test_dedup_substrings_matches_python_model(spark):
+    """Pin the cover semantics against a direct single-node model on a
+    corpus with overlapping and bridging repeats."""
+    from embulk_filter_column_spark.operators import dedup_substrings
+
+    docs = {
+        1: "a b c d e f g h a b c d",
+        2: "x a b c d e y z w q r s",
+        3: "a b c d e f q r s t u v",
+        4: "m n o p q r s t u v w x",
+    }
+    n, mc = 3, 2
+    wins = {}
+    for d, t in docs.items():
+        tk = t.split()
+        for i in range(len(tk) - n + 1):
+            wins.setdefault(" ".join(tk[i:i + n]), []).append((d, i))
+    flagged = {w for w, occ in wins.items() if len(occ) >= mc}
+    want = {}
+    for d, t in docs.items():
+        tk = t.split()
+        covered = set()
+        for i in range(len(tk) - n + 1):
+            if " ".join(tk[i:i + n]) in flagged:
+                covered.update(range(i, i + n))
+        want[d] = " ".join(tok for i, tok in enumerate(tk)
+                           if i not in covered)
+    df = spark.createDataFrame(sorted(docs.items()),
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: r["text_clean"]
+           for r in dedup_substrings(df, window_tokens=n,
+                                     min_count=mc).collect()}
+    assert got == want
+
+    with pytest.raises(ValueError):
+        dedup_substrings(df, window_tokens=0)
+    with pytest.raises(ValueError):
+        dedup_substrings(df, min_count=0)
