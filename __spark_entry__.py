@@ -481,6 +481,36 @@ def q_cdc_ingest_dedup(spark, sf_dir):
     return pipe.table().read().select("url", "text")
 
 
+def q_cdc_dlq(spark, sf_dir):
+    """Dead-letter queue: the events changelog with deterministic
+    corruption planted (op→'X' at seq%13, NULL key at seq%17, NULL ts
+    at seq%19) replays through the pipeline with ``dlq_path`` set; the
+    quarantined rows (seq, reason) must equal the SQL classification
+    with the same first-match precedence (null_key → bad_op →
+    null_order_col). The lake itself receives only the mergeable
+    remainder (pytest covers the exclusion)."""
+    _utc(spark)
+    log = _event_changelog(spark, sf_dir)
+    corrupted = log.select(
+        F.when(F.col("seq") % 13 == 0, "X").otherwise(F.col("op"))
+         .alias("op"),
+        "seq",
+        F.when(F.col("seq") % 19 == 0, F.lit(None)).otherwise(F.col("ts"))
+         .alias("ts"),
+        F.when(F.col("seq") % 17 == 0, F.lit(None))
+         .otherwise(F.col("user_id")).alias("user_id"),
+        "event_type", "value")
+    base = tempfile.mkdtemp(prefix="spark_graft_dlq_")
+    n = corrupted.count()
+    write_wal(corrupted, f"{base}/wal", chunk_rows=max(1000, n // 10))
+    pipe = CDCPipeline(
+        spark, f"{base}/wal", f"{base}/lake", f"{base}/cp",
+        key="user_id", order=("ts", "seq"), num_buckets=16,
+        chunks_per_batch=5, dlq_path=f"{base}/dlq")
+    pipe.run()
+    return pipe.dlq().select("seq", "_dlq_reason")
+
+
 def q_wal_offset_read(spark, sf_dir):
     """Chunked WAL + offset-range read (directory-pruned scan)."""
     _utc(spark)
@@ -1153,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_streaming_replay": q_cdc_streaming_replay,
         "cdc_ingest_dedup": q_cdc_ingest_dedup,
+        "cdc_dlq": q_cdc_dlq,
         "wal_offset_read": q_wal_offset_read,
         "cdc_sessionize": q_cdc_sessionize,
         "dedup_exact": q_dedup_exact,
@@ -1322,6 +1353,29 @@ def oracle_sql() -> dict[str, str]:
         "wal_offset_read": """
             SELECT event_id, user_id, event_type FROM events
             WHERE event_id >= 2000 AND event_id < 5000
+        """,
+        "cdc_dlq": """
+            WITH src AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_id % 13 = 0 THEN 'X'
+                            WHEN event_type = 'error' THEN 'D'
+                            ELSE 'I' END AS op,
+                       CASE WHEN event_id % 19 = 0 THEN NULL
+                            ELSE ts END AS ts,
+                       CASE WHEN event_id % 17 = 0 THEN NULL
+                            ELSE user_id END AS user_id
+                FROM events)
+            SELECT seq,
+                   CASE WHEN user_id IS NULL THEN 'null_key'
+                        WHEN op IS NULL
+                             OR upper(op) NOT IN ('I', 'U', 'D')
+                            THEN 'bad_op'
+                        WHEN ts IS NULL THEN 'null_order_col'
+                   END AS _dlq_reason
+            FROM src
+            WHERE user_id IS NULL
+               OR op IS NULL OR upper(op) NOT IN ('I', 'U', 'D')
+               OR ts IS NULL
         """,
         # ingest-time content dedup: acceptance == first url (batch
         # order == url order by construction) per NORMALIZED text,

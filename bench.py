@@ -218,6 +218,7 @@ BENCH_QUERIES = (
     "multimodal_features",
     "cdc_merge_replay",
     "cdc_ingest_dedup",
+    "cdc_dlq",
 )
 
 

@@ -59,6 +59,7 @@ class CDCPipeline:
         journal_path: str | None = None,
         dedup_index=None,
         dedup_text_col: str = "text",
+        dlq_path: str | None = None,
     ):
         """``sink``: any object satisfying cdc.sink.Sink (plus
         ``exists()``/``create(schema)``/``schema()``) replaces the
@@ -92,7 +93,22 @@ class CDCPipeline:
         That is the intended corpus semantics (one copy of each
         content survives); pipelines that only want per-key change
         suppression should key the index on (key, fingerprint)
-        upstream instead."""
+        upstream instead.
+
+        ``dlq_path``: dead-letter queue. Events that cannot be merged
+        correctly — NULL key (would collapse into one bogus LWW
+        group), NULL/unknown ``op`` (neither upsert nor delete), or a
+        NULL ordering column (no position in the LWW total order) —
+        are diverted to ``dlq_path/batch=<id>/`` as parquet with a
+        ``_dlq_reason`` column instead of silently corrupting the
+        table, the standard quarantine seam of any production ingest.
+        The write is per-batch deterministic overwrite, so crash
+        replay rewrites the identical quarantine set (exactly-once
+        composes unchanged); quarantined counts land in
+        ``dlq_log``. Without ``dlq_path`` malformed events flow
+        through unchecked (legacy behavior). Costs one extra
+        column-pruned pass + small write per batch — the price of the
+        audit trail; leave unset on trusted inputs."""
         self.spark = spark
         self.reader = WalReader(spark, wal_path)
         self.lake_path = lake_path
@@ -131,6 +147,9 @@ class CDCPipeline:
         self.salt_log: list = []
         self.dedup_index = dedup_index
         self.dedup_text_col = dedup_text_col
+        self.dlq_path = dlq_path
+        # (batch_id, n_quarantined) per processed batch
+        self.dlq_log: list = []
         if config_schedule:
             self.schedule = sorted(
                 ((int(k), self._coerce(v)) for k, v in
@@ -170,6 +189,42 @@ class CDCPipeline:
                 "missing %s — keep them in `columns` or avoid dropping them"
                 % missing)
         return compiled.apply(df), compiled.output_schema
+
+    def _dlq_reason(self):
+        """First-match quarantine reason; NULL for mergeable rows."""
+        reason = F.when(F.col(self.key).isNull(), "null_key") \
+                  .when(F.col("op").isNull()
+                        | ~F.upper(F.col("op")).isin("I", "U", "D"),
+                        "bad_op")
+        for c in self.order:
+            reason = reason.when(F.col(c).isNull(), "null_order_col")
+        return reason
+
+    def _quarantine(self, projected, batch_id: int):
+        """Divert unmergeable rows to ``dlq_path/batch=<id>`` and
+        return the mergeable remainder. The quarantine set is a
+        deterministic function of the batch, and the write is an
+        overwrite of the batch's own directory — replay-idempotent.
+        The diverted count rides an Observation on the write job."""
+        from pyspark.sql import Observation
+
+        reason = self._dlq_reason()
+        bad = (projected.withColumn("_dlq_reason", reason)
+               .where(F.col("_dlq_reason").isNotNull()))
+        obs = Observation()
+        (bad.observe(obs, F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite")
+         .parquet("%s/batch=%d" % (self.dlq_path.rstrip("/"), batch_id)))
+        self.dlq_log.append((batch_id, int(obs.get["n"])))
+        return projected.where(reason.isNull())
+
+    def dlq(self):
+        """All quarantined events across batches (``batch`` partition
+        column + ``_dlq_reason``); schemas merged across config
+        evolution."""
+        return (self.spark.read.option("mergeSchema", "true")
+                .option("basePath", self.dlq_path)
+                .parquet(self.dlq_path + "/batch=*"))
 
     def _content_dedup(self, projected, batch_id: int):
         """Suppress upserts whose ``dedup_text_col`` content the index
@@ -246,6 +301,8 @@ class CDCPipeline:
                 use_salts = self.auto_salt_n if hot else None
                 self.salt_log.append((batch_id, bool(hot), len(hot)))
             projected, out_schema = self._project(events, config)
+            if self.dlq_path is not None:
+                projected = self._quarantine(projected, batch_id)
             if self.dedup_index is not None:
                 projected = self._content_dedup(projected, batch_id)
             lake = self._ensure_lake(out_schema)

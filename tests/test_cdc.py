@@ -895,3 +895,45 @@ def test_content_dedup_near_dup_index(spark, tmp_path):
     pipe.run()
     urls = {r["url"] for r in pipe.table().read().collect()}
     assert urls == {"http://orig", "http://other"}
+
+
+def test_dlq_quarantines_malformed_events(spark, tmp_path):
+    """NULL-key / bad-op / NULL-order events land in the dead-letter
+    queue with reasons instead of corrupting the lake; good events
+    merge; a second pipeline over the same WAL rewrites the identical
+    quarantine set (replay-idempotent)."""
+    import datetime as dt
+
+    t1 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        ("I", 0, t1, "http://a", "alpha"),
+        ("X", 1, t1, "http://bad-op", "beta"),     # unknown op
+        ("I", 2, t1, None, "gamma"),                # null key
+        ("I", 3, None, "http://no-ts", "delta"),    # null order col
+        ("D", 4, t1, "http://a", None),             # valid delete
+        ("I", 5, t1, "http://b", "epsilon"),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, seq long, warc_ts timestamp, url string, "
+              "text string")
+    wal_dir = str(tmp_path / "wal")
+    write_wal(df, wal_dir, chunk_rows=3)
+    dlq_dir = str(tmp_path / "dlq")
+    pipe = CDCPipeline(spark, wal_dir, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), num_buckets=4,
+                       chunks_per_batch=1, dlq_path=dlq_dir)
+    pipe.run()
+
+    state = {r["url"] for r in pipe.table().read().collect()}
+    assert state == {"http://b"}          # a deleted; bad rows diverted
+    q = {r["seq"]: r["_dlq_reason"] for r in pipe.dlq().collect()}
+    assert q == {1: "bad_op", 2: "null_key", 3: "null_order_col"}
+    assert pipe.dlq_log == [(1, 2), (2, 1)]
+
+    # replay with a fresh checkpoint/lake, same DLQ: identical content
+    pipe2 = CDCPipeline(spark, wal_dir, str(tmp_path / "lake2"),
+                        str(tmp_path / "cp2"), num_buckets=4,
+                        chunks_per_batch=1, dlq_path=dlq_dir)
+    pipe2.run()
+    q2 = {r["seq"]: r["_dlq_reason"] for r in pipe2.dlq().collect()}
+    assert q2 == q
