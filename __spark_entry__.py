@@ -1069,6 +1069,20 @@ def q_text_quality(spark, sf_dir):
     return d.select("doc_id", "quality")
 
 
+def q_text_gopher_filter(spark, sf_dir):
+    """Gopher A1.1 document gate: published thresholds, integer
+    cross-multiplied comparisons so the keep verdict is bit-identical
+    in DuckDB."""
+    from embulk_filter_column_spark.functions.text import gopher_filter
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    g = gopher_filter(F.col("text")).alias("g")
+    return d.select("doc_id", g).select(
+        "doc_id", "g.n_words", "g.mean_word_len", "g.symbol_word_ratio",
+        "g.alpha_word_frac", "g.stop_hits", "g.keep")
+
+
 _HTML_PREFIX = ('<html><head><script type="text/javascript">var x = 1 < 2;'
                 '</script><style>p { color: red; }</style></head><body>'
                 '<!-- crawl artifact --><h1 class="t">Title &amp; more</h1>'
@@ -1217,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
+        "text_gopher_filter": q_text_gopher_filter,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1783,6 +1798,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_sql_lang_id('text')} AS lang_pred
             FROM (SELECT doc_id, text FROM documents
                   UNION ALL {_SCRIPT_DOCS_SQL})
+        """,
+        "text_gopher_filter": f"""
+            WITH g AS (
+                SELECT doc_id,
+                       {toks} AS t,
+                       len(regexp_extract_all(text, '[#…]')) AS sym
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       len(t) AS n,
+                       CAST(list_sum(list_transform(
+                           t, x -> len(x))) AS BIGINT) AS sum_len,
+                       sym,
+                       len(list_filter(t,
+                           x -> regexp_matches(x, '[a-z]'))) AS aw,
+                       len(list_filter(
+                           ['the','be','to','of','and','that','have',
+                            'with'],
+                           w -> list_contains(t, w))) AS sh
+                FROM g)
+            SELECT doc_id, n AS n_words,
+                   round(sum_len / n, 4) AS mean_word_len,
+                   round(sym / n, 4) AS symbol_word_ratio,
+                   round(aw / n, 4) AS alpha_word_frac,
+                   sh AS stop_hits,
+                   (n >= 50 AND n <= 100000
+                    AND sum_len >= 3 * n AND sum_len <= 10 * n
+                    AND 10 * sym <= n
+                    AND 5 * aw >= 4 * n
+                    AND sh >= 2) AS keep
+            FROM m
         """,
         "text_quality": f"""
             WITH base AS (

@@ -214,6 +214,7 @@ BENCH_QUERIES = (
     "text_pack",
     "text_token_counts",
     "text_quality",
+    "text_gopher_filter",
     "text_lang_id",
     "multimodal_features",
     "cdc_merge_replay",

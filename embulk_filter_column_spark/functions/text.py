@@ -238,6 +238,49 @@ def redact_pii_sql(expr: str) -> str:
     return out
 
 
+# Gopher doc-level filter (Rae et al. 2021, Appendix A1.1): the widely
+# replicated published thresholds, kept verbatim so the gate is
+# recognizable; tune via your own wrapper if your corpus needs it.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_filter(col) -> Column:
+    """Struct of Gopher document-filter metrics + the combined
+    ``keep`` verdict (Rae et al. 2021 A1.1): word count in [50, 1e5],
+    mean word length in [3, 10], '#'/'…' symbol-to-word ratio ≤ 0.1,
+    ≥ 80% of words containing an alphabetic character, and ≥ 2 of the
+    8 canonical stop words present. One codegen'd projection, zero
+    Python; every threshold is evaluated as an INTEGER
+    cross-multiplication (``sum_len ≥ 3·n`` etc.), so ``keep`` is
+    bit-identical across engines — the rounded ratio fields are
+    display-only. NULL/empty/whitespace text yields a NULL struct
+    (absence, not cleanliness — same stance as repetition_metrics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda a, t: a + F.length(t))
+    symbols = F.regexp_count(c, F.lit("[#…]"))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        lambda w: F.array_contains(toks, w)))
+    keep = ((n >= 50) & (n <= 100_000)
+            & (sum_len >= 3 * n) & (sum_len <= 10 * n)
+            & (10 * symbols <= n)
+            & (5 * alpha_words >= 4 * n)
+            & (stop_hits >= 2))
+    metrics = F.struct(
+        n.alias("n_words"),
+        F.round(sum_len / n, 4).alias("mean_word_len"),
+        F.round(symbols / n, 4).alias("symbol_word_ratio"),
+        F.round(alpha_words / n, 4).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"))
+    return F.when(c.isNotNull() & (n > 0), metrics)
+
+
 # ---------------------------------------------------------------------------
 # repetition metrics (Gopher-style quality rules)
 

@@ -1494,3 +1494,30 @@ def test_dedup_substrings_matches_python_model(spark):
         dedup_substrings(df, window_tokens=0)
     with pytest.raises(ValueError):
         dedup_substrings(df, min_count=0)
+
+
+def test_gopher_filter_thresholds(spark):
+    from embulk_filter_column_spark.functions.text import gopher_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs back to the barn with plenty of energy to spare "
+            "while all of the other animals watch it go past the "
+            "fence that borders the wide green field every morning "
+            "before the sun rises over the distant hills again") 
+    rows = [
+        (1, good),                                   # passes all rules
+        (2, "too short to pass the fifty word rule"),
+        (3, " ".join("#" for _ in range(60))),       # symbols, no alpha
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", gopher_filter("text").alias("g")).collect()}
+    assert out[1]["keep"] is True
+    assert out[1]["n_words"] >= 50
+    assert out[2]["keep"] is False          # word count < 50
+    assert out[3]["keep"] is False          # alpha + symbol rules
+    assert out[3]["alpha_word_frac"] == 0.0
+    assert out[4] is None
+    assert out[5] is None
