@@ -471,7 +471,12 @@ def q_cdc_ingest_dedup(spark, sf_dir):
         F.lit(None).cast("string").alias("text"))
     log = orig.unionByName(mir).unionByName(dele)
     base = tempfile.mkdtemp(prefix="spark_graft_ingestdedup_")
-    write_wal(log, f"{base}/wal", chunk_rows=100)
+    # chunk size scales with the corpus (~15 chunks / ~5 batches at any
+    # SF): the acceptance semantics are batching-independent as long as
+    # batch order follows seq==url order, which any chunk_rows
+    # preserves — a FIXED 100 would mean 35 batches of pure per-batch
+    # commit overhead at sf0.1
+    write_wal(log, f"{base}/wal", chunk_rows=max(100, n // 5))
     idx = FingerprintIndex(spark, f"{base}/idx", num_buckets=16)
     pipe = CDCPipeline(
         spark, f"{base}/wal", f"{base}/lake", f"{base}/cp",
