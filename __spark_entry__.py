@@ -1388,13 +1388,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT seq,
                    CASE WHEN user_id IS NULL THEN 'null_key'
                         WHEN op IS NULL
-                             OR upper(op) NOT IN ('I', 'U', 'D')
+                             OR op NOT IN ('I', 'U', 'D')
                             THEN 'bad_op'
                         WHEN ts IS NULL THEN 'null_order_col'
                    END AS _dlq_reason
             FROM src
             WHERE user_id IS NULL
-               OR op IS NULL OR upper(op) NOT IN ('I', 'U', 'D')
+               OR op IS NULL OR op NOT IN ('I', 'U', 'D')
                OR ts IS NULL
         """,
         # ingest-time content dedup: acceptance == first url (batch

@@ -191,10 +191,15 @@ class CDCPipeline:
         return compiled.apply(df), compiled.output_schema
 
     def _dlq_reason(self):
-        """First-match quarantine reason; NULL for mergeable rows."""
+        """First-match quarantine reason; NULL for mergeable rows. The
+        op check is CASE-SENSITIVE on purpose: the lake's tombstone
+        comparison is ``op == 'D'`` exactly, so a lowercase 'd' would
+        pass a case-folding gate here and then merge as a live upsert
+        with a NULL payload — the quarantine must reject exactly what
+        the merge would mishandle."""
         reason = F.when(F.col(self.key).isNull(), "null_key") \
                   .when(F.col("op").isNull()
-                        | ~F.upper(F.col("op")).isin("I", "U", "D"),
+                        | ~F.col("op").isin("I", "U", "D"),
                         "bad_op")
         for c in self.order:
             reason = reason.when(F.col(c).isNull(), "null_order_col")
@@ -228,19 +233,34 @@ class CDCPipeline:
 
     def _content_dedup(self, projected, batch_id: int):
         """Suppress upserts whose ``dedup_text_col`` content the index
-        has already accepted (this batch's earlier keys included).
-        Deletes and NULL-text events are routed AROUND the index —
-        unioned back untouched. The index call is journaled under this
-        pipeline batch id, so crash replay reproduces the recorded
-        decision instead of re-deciding against a mutated index."""
+        has already accepted. Deletes, NULL-text, NULL-key and
+        NULL/malformed-op events are routed AROUND the index — unioned
+        back untouched (the predicate is null-safe in BOTH directions,
+        so no row can fall out of the partition; pair with ``dlq_path``
+        to quarantine the malformed ones instead). The decision is
+        per KEY on the key's in-batch LAST-WRITER-WINS winner — the
+        event that would actually reach the lake: checking every event
+        would let a key's SUPERSEDED older text (a near-dup of history)
+        veto its genuinely new newest text. A key whose winner
+        duplicates history is suppressed whole; a surviving key passes
+        all its events through to the normal merge LWW. The index call
+        is journaled under this pipeline batch id, so crash replay
+        reproduces the recorded decision instead of re-deciding
+        against a mutated index."""
+        from .dedup import last_writer_wins
+
         text = F.col(self.dedup_text_col)
-        indexable = (F.upper(F.col("op")) != "D") & text.isNotNull()
+        indexable = (F.col("op").isNotNull() & (F.col("op") != "D")
+                     & text.isNotNull() & F.col(self.key).isNotNull())
         bypass = projected.where(~indexable)
-        kept = self.dedup_index.dedup_and_update(
-            projected.where(indexable),
-            text_col=self.dedup_text_col, id_col=self.key,
-            batch_id="b%08d" % batch_id)
-        return kept.unionByName(bypass)
+        upserts = projected.where(indexable)
+        winners = last_writer_wins(upserts, key=self.key,
+                                   order=self.order)
+        kept_keys = self.dedup_index.dedup_and_update(
+            winners, text_col=self.dedup_text_col, id_col=self.key,
+            batch_id="b%08d" % batch_id).select(self.key)
+        kept = upserts.join(kept_keys, self.key, "left_semi")
+        return kept.select(*projected.columns).unionByName(bypass)
 
     def _table_schema(self, output_schema):
         """Lake schema = projected payload without the transient op flag."""

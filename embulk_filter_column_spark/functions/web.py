@@ -117,15 +117,20 @@ def url_domain(col) -> Column:
     Scheme-less input yields ``''`` — same non-guessing stance as
     ``normalize_url``. Native regex; ``url_domain_sql`` is the twin."""
     c = F.col(col) if isinstance(col, str) else col
+    # userinfo ('user:pass@host') is skipped greedily up to the last
+    # '@' before the path — otherwise 'http://alice@blocked.com/' would
+    # yield domain 'alice' and sail past a blocklist
     host = F.lower(F.regexp_extract(
-        F.trim(c), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+        F.trim(c),
+        r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#:@]*)", 1))
     return F.regexp_replace(host, r"^www\.", "")
 
 
 def url_domain_sql(expr: str) -> str:
     """DuckDB twin of url_domain (kept in lockstep)."""
     host = (f"lower(regexp_extract(trim({expr}), "
-            f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1))")
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#:@]*)', "
+            f"1))")
     return f"regexp_replace({host}, '^www\\.', '')"
 
 

@@ -77,7 +77,6 @@ def filter_domains(df: DataFrame, blocklist=None, allowlist=None,
                 else (allowlist, "left_semi"))
     if isinstance(ref, DataFrame):
         ref_col = ref.columns[0]
-        key = dom.alias("__domain")
         return (df.withColumn("__domain", dom)
                 .join(F.broadcast(ref.selectExpr(
                     f"`{ref_col}` AS __domain").distinct()),

@@ -306,6 +306,10 @@ class MinHashIndex(_JournaledIndex):
 
     def _append(self, keys: DataFrame, docs: DataFrame,
                 id_col: str) -> None:
+        # zero-shingle docs live in the journal (full survivor set for
+        # replay) but never in the index — an empty shingle set can
+        # never be a candidate, and indexing it would only grow docs/
+        docs = docs.where(F.col("n") > 0)
         (keys
          .withColumn("bucket", self._key_bucket("key"))
          .repartition("bucket")
@@ -348,9 +352,14 @@ class MinHashIndex(_JournaledIndex):
             return (df.join(docs.select(id_col), id_col, "left_semi")
                     .select(*df.columns))
 
-        shingled = _shingle_docs(df, text_col, id_col, self.shingle_n)
+        # both projections are referenced 3-4x below (in-batch verify,
+        # cross-batch probe + verify, journal/append writes) — pin them
+        # once instead of re-running the tokenize+signature scan per use
+        shingled = _shingle_docs(df, text_col, id_col, self.shingle_n) \
+            .localCheckpoint(eager=True)
         keys = minhash_band_keys(df, text_col, id_col, self.num_hashes,
-                                 self.bands, self.shingle_n, self.seed)
+                                 self.bands, self.shingle_n, self.seed) \
+            .localCheckpoint(eager=True)
         # (a) in-batch: same banded blocking + exact verify as the
         # one-shot minhash_lsh_pairs; b of a verified (a < b) pair is a
         # near-dup of an earlier batch doc
@@ -372,10 +381,14 @@ class MinHashIndex(_JournaledIndex):
                         .distinct().collect()]
             idx = (self._band_slice(pbuckets)
                    .select("band", "key", F.col(id_col).alias("_old")))
+            # NOTE: same-id pairs are kept deliberately — a re-crawl of
+            # an already-indexed id must verify against its own indexed
+            # text (unchanged re-crawl → jaccard 1 → suppressed, the
+            # FingerprintIndex-consistent behavior); excluding a == b
+            # here silently re-accepted every re-ingest of a known id
             cross = (keys.join(idx, ["band", "key"])
                      .select(F.col(id_col).alias("b"),
                              F.col("_old").alias("a"))
-                     .where(F.col("a") != F.col("b"))
                      .distinct()
                      .localCheckpoint(eager=True))
             obuckets = [r["db"] for r in
@@ -400,8 +413,12 @@ class MinHashIndex(_JournaledIndex):
                     .join(dropped, id_col, "left_anti")
                     .localCheckpoint(eager=True))
         surv_keys = keys.join(surv_ids, id_col, "left_semi")
-        surv_docs = (shingled.join(surv_ids, id_col, "left_semi")
-                     .where(F.col("n") > 0))
+        # the journal must hold the FULL survivor set — zero-shingle
+        # survivors included — or a crash replay (which derives the
+        # survivor set from the journaled docs) would drop rows the
+        # original run accepted; the n > 0 filter moves to the index
+        # append below (empty shingle sets can never be candidates)
+        surv_docs = shingled.join(surv_ids, id_col, "left_semi")
         if batch_id is not None:
             jd = self._journal_dir(batch_id)
             surv_keys.write.mode("overwrite").parquet(

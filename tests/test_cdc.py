@@ -937,3 +937,95 @@ def test_dlq_quarantines_malformed_events(spark, tmp_path):
     pipe2.run()
     q2 = {r["seq"]: r["_dlq_reason"] for r in pipe2.dlq().collect()}
     assert q2 == q
+
+
+def test_dlq_rejects_lowercase_op(spark, tmp_path):
+    """The lake's tombstone check is case-sensitive (op == 'D'), so the
+    quarantine gate must be too: a lowercase 'd' would otherwise merge
+    as a live upsert with a NULL payload."""
+    import datetime as dt
+
+    t1 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [("I", 0, t1, "http://a", "alpha"),
+            ("d", 1, t1, "http://a", None)]
+    df = spark.createDataFrame(
+        rows, "op string, seq long, warc_ts timestamp, url string, "
+              "text string")
+    wal_dir = str(tmp_path / "wal")
+    write_wal(df, wal_dir, chunk_rows=2)
+    pipe = CDCPipeline(spark, wal_dir, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), num_buckets=4,
+                       dlq_path=str(tmp_path / "dlq"))
+    pipe.run()
+    assert {(r["url"], r["text"]) for r in pipe.table().read().collect()} \
+        == {("http://a", "alpha")}
+    assert [(r["seq"], r["_dlq_reason"]) for r in pipe.dlq().collect()] \
+        == [(1, "bad_op")]
+
+
+def test_content_dedup_null_op_and_key_bypass_index(spark, tmp_path):
+    """With dedup_index set but no DLQ, NULL-op and NULL-key events
+    must flow through to the merge (legacy behavior), not vanish into
+    the null-partition gap of the indexable predicate."""
+    import datetime as dt
+
+    from embulk_filter_column_spark.operators import FingerprintIndex
+
+    t1 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [("I", 0, t1, "http://a", "alpha"),
+            (None, 1, t1, "http://nullop", "beta"),
+            ("I", 2, t1, None, "gamma")]
+    df = spark.createDataFrame(
+        rows, "op string, seq long, warc_ts timestamp, url string, "
+              "text string")
+    wal_dir = str(tmp_path / "wal")
+    write_wal(df, wal_dir, chunk_rows=3)
+    plain = CDCPipeline(spark, wal_dir, str(tmp_path / "lake0"),
+                        str(tmp_path / "cp0"), num_buckets=4)
+    plain.run()
+    legacy = {r["url"] for r in plain.table().read().collect()}
+    # legacy view: NULL-op rows never read back (op != 'D' is NULL);
+    # NULL-key rows do
+    assert legacy == {"http://a", None}
+
+    idx = FingerprintIndex(spark, str(tmp_path / "idx"), num_buckets=4)
+    pipe = CDCPipeline(spark, wal_dir, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), num_buckets=4,
+                       dedup_index=idx)
+    pipe.run()
+    # the index must not change what reaches the lake for rows it
+    # cannot handle — identical final view with and without it
+    assert {r["url"] for r in pipe.table().read().collect()} == legacy
+
+
+def test_content_dedup_decides_on_lww_winner(spark, tmp_path):
+    """A key's SUPERSEDED older in-batch text must not veto its newest
+    text: the index decision is taken on the key's LWW winner."""
+    import datetime as dt
+
+    from embulk_filter_column_spark.operators import FingerprintIndex
+
+    t1 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    t2 = dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc)
+    t3 = dt.datetime(2026, 1, 3, tzinfo=dt.timezone.utc)
+    rows = [
+        # batch 1: url b establishes the content history
+        ("I", 0, t1, "http://b", "known old content here"),
+        # batch 2: url a updates twice — older text dups b's content,
+        # newest text is genuinely new
+        ("I", 3, t2, "http://a", "known old content here"),
+        ("U", 4, t3, "http://a", "fresh brand new content"),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, seq long, warc_ts timestamp, url string, "
+              "text string")
+    wal_dir = str(tmp_path / "wal")
+    write_wal(df, wal_dir, chunk_rows=3)
+    idx = FingerprintIndex(spark, str(tmp_path / "idx"), num_buckets=4)
+    pipe = CDCPipeline(spark, wal_dir, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), num_buckets=4,
+                       chunks_per_batch=1, dedup_index=idx)
+    pipe.run()
+    state = {r["url"]: r["text"] for r in pipe.table().read().collect()}
+    assert state == {"http://b": "known old content here",
+                     "http://a": "fresh brand new content"}

@@ -1521,3 +1521,66 @@ def test_gopher_filter_thresholds(spark):
     assert out[3]["alpha_word_frac"] == 0.0
     assert out[4] is None
     assert out[5] is None
+
+
+def test_minhash_index_suppresses_same_id_recrawl(spark, tmp_path):
+    """A re-ingest of an already-indexed id with unchanged (or
+    near-identical) text must be suppressed — the cross-batch verify
+    matches the id's own indexed entry (FingerprintIndex-consistent)."""
+    from embulk_filter_column_spark.operators import MinHashIndex
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank every single morning in early spring")
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), num_buckets=4,
+                       num_hashes=16, bands=8, shingle_n=3,
+                       threshold=0.8)
+    b1 = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    assert idx.dedup_and_update(b1).count() == 1
+    # batch 2: same id, same text -> suppressed
+    assert idx.dedup_and_update(b1).count() == 0
+    # batch 3: same id, lightly edited -> still suppressed
+    b3 = spark.createDataFrame(
+        [(1, base.replace("spring", "summer"))], ["doc_id", "text"])
+    assert idx.dedup_and_update(b3).count() == 0
+    # genuinely different content under the same id is accepted
+    b4 = spark.createDataFrame(
+        [(1, "entirely different page about query optimizers today")],
+        ["doc_id", "text"])
+    assert idx.dedup_and_update(b4).count() == 1
+
+
+def test_minhash_index_zero_shingle_replay_parity(spark, tmp_path):
+    """Zero-shingle survivors (text normalizing to nothing) must come
+    back on a journal REPLAY exactly as on the first run — they are
+    journaled (full survivor set) but never indexed."""
+    from embulk_filter_column_spark.operators import MinHashIndex
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), num_buckets=4,
+                       num_hashes=16, bands=8, shingle_n=3,
+                       threshold=0.8)
+    batch = spark.createDataFrame(
+        [(1, "a normal document with plenty of words to shingle on"),
+         (2, "!!! ??? ...")],              # normalizes to zero tokens
+        ["doc_id", "text"])
+    first = {r["doc_id"] for r in
+             idx.dedup_and_update(batch, batch_id="b1").collect()}
+    assert first == {1, 2}
+    replay = {r["doc_id"] for r in
+              idx.dedup_and_update(batch, batch_id="b1").collect()}
+    assert replay == first
+    # and the zero-shingle doc never entered the index itself
+    docs = spark.read.parquet(str(tmp_path / "idx") + "/docs")
+    assert docs.where(F.col("n") == 0).count() == 0
+
+
+def test_url_domain_skips_userinfo(spark):
+    """userinfo must not be mistaken for the host — otherwise
+    'http://alice@blocked.com/' evades a blocklist on blocked.com."""
+    from embulk_filter_column_spark.operators import filter_domains
+
+    rows = [(1, "http://alice@blocked.example.com/page"),
+            (2, "https://u:pw@www.Blocked.example.com:443/x"),
+            (3, "https://ok.example.org/y")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = filter_domains(df, blocklist=["blocked.example.com"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
