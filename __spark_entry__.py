@@ -926,6 +926,20 @@ def q_text_dedup_substrings(spark, sf_dir):
     return dedup_substrings(planted, window_tokens=8, min_count=3)
 
 
+def q_corpus_mixture_plan(spark, sf_dir):
+    """Token-budget mixture planning: largest corpus achieving the
+    50/25/25 source mixture without upsampling — closed-form
+    ``C = min_s T_s/w_s``, ``f_s = w_s·C/T_s`` over one
+    map-side-combining token-total aggregation. Weights are
+    binary-exact literals so both engines compute identical doubles."""
+    from embulk_filter_column_spark.operators import plan_mixture
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    return plan_mixture(d, "source",
+                        {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment (hash-derived uniform,
     layout-independent — a repartitioned rerun yields the same split,
@@ -1223,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_dedup_lines": q_text_dedup_lines,
         "text_dedup_substrings": q_text_dedup_substrings,
+        "corpus_mixture_plan": q_corpus_mixture_plan,
         "corpus_split": q_corpus_split,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -1705,6 +1720,24 @@ def oracle_sql() -> dict[str, str]:
                             s -> s <= i AND i < s + 8)) = 0], ' ')
                        AS text_clean
             FROM j
+        """,
+        "corpus_mixture_plan": f"""
+            WITH totals AS (
+                SELECT source,
+                       SUM(len({toks})) AS total_tokens
+                FROM documents
+                WHERE source IN ('src0', 'src1', 'src2')
+                GROUP BY source),
+            w AS (
+                SELECT source, total_tokens,
+                       CASE source WHEN 'src0' THEN 0.5
+                                   WHEN 'src1' THEN 0.25
+                                   WHEN 'src2' THEN 0.25 END AS wt
+                FROM totals),
+            c AS (SELECT min(total_tokens / wt) AS cap FROM w)
+            SELECT source, total_tokens,
+                   round(wt * cap / total_tokens, 6) AS fraction
+            FROM w, c
         """,
         "corpus_split": f"""
             SELECT doc_id,

@@ -7,6 +7,8 @@ from .decontaminate import decontaminate  # noqa: F401
 from .incremental import FingerprintIndex, MinHashIndex  # noqa: F401
 from .packing import pack_documents  # noqa: F401
 from .sampling import (  # noqa: F401
+    mixture_fractions,
+    plan_mixture,
     sample_corpus_stratified,
     shuffle_corpus,
     split_corpus,

@@ -133,3 +133,78 @@ def sample_corpus_stratified(df: DataFrame, strata_col: str,
     frac = (F.lit(float(default_fraction)) if frac is None
             else frac.otherwise(F.lit(float(default_fraction))))
     return df.where(u < frac)
+
+
+def plan_mixture(df: DataFrame, strata_col: str, weights: dict,
+                 n_tokens_col: str | None = None,
+                 text_col: str = "text") -> DataFrame:
+    """Token-budget mixture planner: given target mixture ``weights``
+    per stratum (source, language, quality tier), compute the
+    per-stratum keep fractions that realize the LARGEST corpus with
+    exactly that token mixture WITHOUT upsampling any stratum (no
+    document is repeated — epochs are a training-loop decision, not a
+    corpus-build one). Returns one row per target stratum:
+    ``(strata_col, total_tokens, fraction)``, directly feedable to
+    ``sample_corpus_stratified`` via ``mixture_fractions``.
+
+    Closed form: with per-stratum token totals ``T_s`` and normalized
+    weights ``w_s``, the binding stratum caps the achievable corpus at
+    ``C = min_s T_s / w_s`` and every stratum keeps
+    ``f_s = w_s * C / T_s`` (the binding stratum keeps 1.0). Token
+    totals come from ``n_tokens_col`` when the pipeline already
+    counted tokens, else from the engine's whitespace tokenizer over
+    ``text_col`` — ONE map-side-combining aggregation over the corpus
+    either way; the planning arithmetic is O(strata) on the driver.
+    Strata absent from ``weights`` get no row (keep fraction 0 —
+    excluded from the mixture); strata in ``weights`` but absent from
+    the corpus yield total 0 and make the plan infeasible, surfaced
+    as fraction NULL for every stratum."""
+    from ..functions.text import tokens
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be > 0")
+    total_w = float(sum(weights.values()))
+    norm = {k: float(v) / total_w for k, v in weights.items()}
+    n_tok = (F.col(n_tokens_col) if n_tokens_col is not None
+             else F.size(tokens(F.col(text_col))))
+    totals = (df.where(F.col(strata_col).isin(*norm.keys()))
+              .groupBy(strata_col)
+              .agg(F.sum(n_tok).alias("total_tokens")))
+    w_expr = None
+    for k, w in norm.items():
+        clause = (w_expr.when if w_expr is not None else F.when)(
+            F.col(strata_col) == F.lit(k), F.lit(w))
+        w_expr = clause
+    # C = min_s T_s / w_s over the TARGET strata; a missing/empty
+    # stratum (total 0 or no row) makes the mixture infeasible
+    per = totals.select(
+        F.col(strata_col), "total_tokens",
+        (F.col("total_tokens") / w_expr).alias("_cap"))
+    n_present = per.count()
+    cap_row = per.agg(F.min("_cap").alias("c")).first()
+    feasible = (n_present == len(norm)) and cap_row["c"] is not None \
+        and cap_row["c"] > 0
+    cap = float(cap_row["c"]) if feasible else None
+    if cap is None:
+        return per.select(
+            F.col(strata_col), "total_tokens",
+            F.lit(None).cast("double").alias("fraction"))
+    return per.select(
+        F.col(strata_col), "total_tokens",
+        F.round(w_expr * F.lit(cap) / F.col("total_tokens"), 6)
+         .alias("fraction"))
+
+
+def mixture_fractions(df: DataFrame, strata_col: str, weights: dict,
+                      **kwargs) -> dict:
+    """Collect ``plan_mixture`` into the dict
+    ``sample_corpus_stratified`` takes; raises if infeasible."""
+    rows = plan_mixture(df, strata_col, weights, **kwargs).collect()
+    out = {r[strata_col]: r["fraction"] for r in rows}
+    if len(out) != len(weights) or any(v is None for v in out.values()):
+        raise ValueError(
+            "mixture infeasible: a target stratum is missing or empty "
+            f"(got totals for {sorted(out)})")
+    return out

@@ -1584,3 +1584,50 @@ def test_url_domain_skips_userinfo(spark):
     df = spark.createDataFrame(rows, ["doc_id", "url"])
     kept = filter_domains(df, blocklist=["blocked.example.com"])
     assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+
+
+def test_plan_mixture_closed_form(spark):
+    from embulk_filter_column_spark.operators import (
+        mixture_fractions,
+        plan_mixture,
+        sample_corpus_stratified,
+    )
+
+    # tokens per doc = 4; totals: a=40, b=16, c=80 (+ ignored stratum d)
+    rows = ([(i, "a", "w x y z") for i in range(10)]
+            + [(100 + i, "b", "w x y z") for i in range(4)]
+            + [(200 + i, "c", "w x y z") for i in range(20)]
+            + [(300, "d", "w x y z")])
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    # weights 50/25/25: caps = 40/.5=80, 16/.25=64, 80/.25=320 → C=64
+    # fractions: a=.5*64/40=0.8, b=1.0 (binding), c=.25*64/80=0.2
+    plan = {r["source"]: (r["total_tokens"], r["fraction"])
+            for r in plan_mixture(
+                df, "source",
+                {"a": 0.5, "b": 0.25, "c": 0.25}).collect()}
+    assert plan == {"a": (40, 0.8), "b": (16, 1.0), "c": (80, 0.2)}
+
+    fr = mixture_fractions(df, "source",
+                           {"a": 0.5, "b": 0.25, "c": 0.25})
+    sampled = sample_corpus_stratified(df, "source", fr)
+    got = {s: n for s, n in
+           sampled.groupBy("source").count().collect()}
+    assert got["b"] == 4                  # binding stratum kept whole
+    assert "d" not in got                 # unlisted stratum excluded
+
+    # n_tokens_col path: same plan from precomputed counts
+    from pyspark.sql import functions as F
+    df2 = df.withColumn("n_tok", F.lit(4))
+    plan2 = {r["source"]: r["fraction"]
+             for r in plan_mixture(
+                 df2, "source", {"a": 0.5, "b": 0.25, "c": 0.25},
+                 n_tokens_col="n_tok").collect()}
+    assert plan2 == {"a": 0.8, "b": 1.0, "c": 0.2}
+
+    # infeasible: a target stratum missing from the corpus
+    with pytest.raises(ValueError):
+        mixture_fractions(df, "source", {"a": 0.5, "zz": 0.5})
+    with pytest.raises(ValueError):
+        plan_mixture(df, "source", {})
+    with pytest.raises(ValueError):
+        plan_mixture(df, "source", {"a": -1.0})
