@@ -926,6 +926,27 @@ def q_text_dedup_substrings(spark, sf_dir):
     return dedup_substrings(planted, window_tokens=8, min_count=3)
 
 
+def q_text_dedup_substrings_first(spark, sf_dir):
+    """keep='first' substring dedup (the paper's keep-one-copy
+    semantics): the planted syndicated sentence survives ONLY in the
+    globally-first doc (doc 0 wins every planted window's
+    (doc_id, start) minimum); every other doc loses it. The winner is
+    a min(struct) aggregate in Spark and a rank-1 window in the SQL
+    twin — same total order."""
+    from embulk_filter_column_spark.operators import dedup_substrings
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" this content is syndicated across partner"
+                       " sites under license agreement every day tail"),
+                 F.col("doc_id").cast("string")).alias("text"))
+    return dedup_substrings(planted, window_tokens=8, min_count=3,
+                            keep="first")
+
+
 def q_corpus_mixture_plan(spark, sf_dir):
     """Token-budget mixture planning: largest corpus achieving the
     50/25/25 source mixture without upsampling — closed-form
@@ -1237,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_dedup_lines": q_text_dedup_lines,
         "text_dedup_substrings": q_text_dedup_substrings,
+        "text_dedup_substrings_first": q_text_dedup_substrings_first,
         "corpus_mixture_plan": q_corpus_mixture_plan,
         "corpus_split": q_corpus_split,
         "corpus_shuffle": q_corpus_shuffle,
@@ -1679,6 +1701,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept GROUP BY doc_id)
             SELECT p.doc_id, coalesce(a.text_clean, '') AS text_clean
             FROM planted p LEFT JOIN agg a USING (doc_id)
+        """,
+        # keep='first': identical pipeline, but rank-1 occurrences per
+        # flagged hash (ORDER BY doc_id, s == Spark's min(struct) total
+        # order) protect their tokens — only rn > 1 occurrences cut
+        "text_dedup_substrings_first": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' this content is syndicated across'
+                       || ' partner sites under license agreement'
+                       || ' every day tail' || CAST(doc_id AS VARCHAR)
+                           AS text
+                FROM documents),
+            toked AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text),
+                                                      '\\s+'),
+                                   x -> x <> '') AS t
+                FROM planted),
+            win AS (
+                SELECT doc_id, u.s AS s, u.h AS h
+                FROM (SELECT doc_id, unnest(
+                          CASE WHEN len(t) >= 8 THEN
+                              [{'s': i, 'h': md5(array_to_string(
+                                   t[i+1:i+8], ' '))}
+                               FOR i IN range(len(t) - 7)]
+                          ELSE [] END) AS u
+                      FROM toked)),
+            flagged AS (
+                SELECT h FROM win GROUP BY 1 HAVING count(*) >= 3),
+            occ AS (
+                SELECT doc_id, s, h,
+                       row_number() OVER (
+                           PARTITION BY h ORDER BY doc_id, s) AS rn
+                FROM win WHERE h IN (SELECT h FROM flagged)),
+            st AS (
+                SELECT doc_id, list(s) AS ss FROM occ
+                WHERE rn > 1 GROUP BY doc_id),
+            j AS (
+                SELECT toked.doc_id, t,
+                       coalesce(st.ss, CAST([] AS BIGINT[])) AS ss
+                FROM toked LEFT JOIN st USING (doc_id))
+            SELECT doc_id,
+                   array_to_string(
+                       [t[i+1] FOR i IN range(len(t))
+                        IF len(list_filter(ss,
+                            s -> s <= i AND i < s + 8)) = 0], ' ')
+                       AS text_clean
+            FROM j
         """,
         "text_dedup_substrings": """
             WITH planted AS (

@@ -150,6 +150,7 @@ def dedup_substrings(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      window_tokens: int = 50,
                      min_count: int = 2,
+                     keep: str = "none",
                      out_col: str = "text_clean") -> DataFrame:
     """Corpus-level SUBSTRING deduplication — the token-window
     generalization of ``dedup_corpus_lines`` (after Lee et al. 2022,
@@ -180,11 +181,21 @@ def dedup_substrings(df: DataFrame, text_col: str = "text",
     ``filter(tokens, (tok, i) -> no flagged window covers i)`` — the
     cover test is O(starts/doc) per token, bounded by tokens/doc. Two
     deliberate scans of the window projection (counts, then
-    occurrences), one reassembly shuffle keyed by doc."""
+    occurrences), one reassembly shuffle keyed by doc.
+
+    ``keep="first"`` switches to the paper's keep-one-copy semantics:
+    per flagged window, the globally FIRST occurrence (min by
+    (doc id, start position)) retains its tokens and only the other
+    occurrences are removed — a position is cut iff some NON-winner
+    flagged occurrence covers it. The winner per hash is one more
+    map-side-combining ``min(struct)`` aggregate (no window function),
+    joined back on the hash."""
     if window_tokens < 1:
         raise ValueError("window_tokens must be >= 1")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    if keep not in ("none", "first"):
+        raise ValueError("keep must be 'none' or 'first'")
     n = window_tokens
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                     lambda x: x != "")
@@ -205,8 +216,16 @@ def dedup_substrings(df: DataFrame, text_col: str = "text",
                .agg(F.count(F.lit(1)).alias("_n"))
                .where(F.col("_n") >= min_count)
                .select("_h"))
-    doc_starts = (win.join(flagged, "_h", "left_semi")
-                  .groupBy(id_col)
+    occ = win.join(flagged, "_h", "left_semi")
+    if keep == "first":
+        winners = (occ.groupBy("_h")
+                   .agg(F.min(F.struct(F.col(id_col), F.col("_s")))
+                        .alias("_w")))
+        occ = (occ.join(winners, "_h")
+               .where(~((F.col(id_col) == F.col("_w")[id_col])
+                        & (F.col("_s") == F.col("_w._s"))))
+               .drop("_w"))
+    doc_starts = (occ.groupBy(id_col)
                   .agg(F.collect_list("_s").alias("_starts")))
     base = df.select(F.col(id_col), F.col(text_col).alias("_orig"))
     joined = (base.join(doc_starts, id_col, "left")

@@ -29,7 +29,8 @@ class StreamingCDC:
                  num_buckets: int = 64,
                  max_files_per_trigger: int | None = None,
                  merge_mode: str = "cow",
-                 dedup_index=None, dedup_text_col: str = "text"):
+                 dedup_index=None, dedup_text_col: str = "text",
+                 dlq_path: str | None = None):
         """``merge_mode="delta"`` is the natural fit for streaming: a
         trickle of small micro-batches appends O(batch) delta files per
         epoch instead of rewriting every touched bucket, with
@@ -42,7 +43,13 @@ class StreamingCDC:
         before the merge. The index journal keys on the streaming
         epoch id — epoch replay after a crash returns the journaled
         accept/reject decision, composing with the lake's idempotent
-        commits to keep exactly-once."""
+        commits to keep exactly-once.
+
+        ``dlq_path`` enables the batch pipeline's dead-letter queue in
+        the streaming path: unmergeable micro-batch events (NULL key,
+        unknown op, NULL order column) divert to
+        ``dlq_path/batch=<epoch+1>/`` — deterministic per-epoch
+        overwrite, replay-idempotent; read via ``dlq()``."""
         self.spark = spark
         self.merge_mode = merge_mode
         self.wal_path = wal_path
@@ -62,7 +69,8 @@ class StreamingCDC:
             os.path.join(self.checkpoint_path, "_sink_cp"),
             filter_config=self.config, key=self.key, order=self.order,
             num_buckets=self.num_buckets,
-            dedup_index=dedup_index, dedup_text_col=dedup_text_col)
+            dedup_index=dedup_index, dedup_text_col=dedup_text_col,
+            dlq_path=dlq_path)
 
     def _stream(self) -> DataFrame:
         static = self.spark.read.parquet(self.wal_path)
@@ -79,6 +87,8 @@ class StreamingCDC:
         # _project caches the compiled rule tree per (config, schema), so
         # a steady-state stream compiles once, not once per epoch
         projected, out_schema = self._helper._project(batch_df, self.config)
+        if self._helper.dlq_path is not None:
+            projected = self._helper._quarantine(projected, epoch_id + 1)
         if self._helper.dedup_index is not None:
             projected = self._helper._content_dedup(projected, epoch_id + 1)
         lake = self._helper._ensure_lake(out_schema)
@@ -95,6 +105,10 @@ class StreamingCDC:
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
+
+    def dlq(self):
+        """Quarantined events across all processed epochs."""
+        return self._helper.dlq()
 
     def table(self) -> LakeTable:
         return LakeTable(self.spark, self.lake_path)

@@ -1631,3 +1631,33 @@ def test_plan_mixture_closed_form(spark):
         plan_mixture(df, "source", {})
     with pytest.raises(ValueError):
         plan_mixture(df, "source", {"a": -1.0})
+
+
+def test_dedup_substrings_keep_first(spark):
+    """keep='first': the globally-first occurrence (min (doc_id,
+    start)) of a repeated span keeps its tokens; later occurrences are
+    cut; keep='none' removes all copies."""
+    from embulk_filter_column_spark.operators import dedup_substrings
+
+    span = "one two three four five six"
+    rows = [(1, f"intro {span} outro1"),
+            (2, f"start {span} outro2"),
+            (3, f"{span} tail3")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    first = {r["doc_id"]: r["text_clean"]
+             for r in dedup_substrings(df, window_tokens=6,
+                                       min_count=3,
+                                       keep="first").collect()}
+    # doc 1 is the winner (smallest doc_id; its start offset is 1 but
+    # (1, 1) < (2, 1) < (3, 0) under (doc_id, s) order)
+    assert first[1] == f"intro {span} outro1"
+    assert first[2] == "start outro2"
+    assert first[3] == "tail3"
+
+    none = {r["doc_id"]: r["text_clean"]
+            for r in dedup_substrings(df, window_tokens=6,
+                                      min_count=3).collect()}
+    assert none[1] == "intro outro1"
+
+    with pytest.raises(ValueError):
+        dedup_substrings(df, keep="bogus")

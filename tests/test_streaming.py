@@ -241,3 +241,27 @@ def test_streaming_content_dedup_at_ingest(spark, tmp_path):
     assert state == {"http://a": "alpha page content one",
                      "http://c": None,
                      "http://d": "delta page content four"}
+
+
+def test_streaming_dlq(spark, tmp_path):
+    """The streaming path shares the batch pipeline's dead-letter
+    queue: malformed micro-batch events divert instead of merging."""
+    import datetime as dt
+
+    t1 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [("I", 0, t1, "http://a", "alpha"),
+            ("X", 1, t1, "http://badop", "beta"),
+            ("I", 2, t1, None, "gamma")]
+    df = spark.createDataFrame(
+        rows, "op string, seq long, warc_ts timestamp, url string, "
+              "text string")
+    wal_dir = str(tmp_path / "wal")
+    write_wal(df, wal_dir, chunk_rows=3)
+    job = StreamingCDC(spark, wal_dir, str(tmp_path / "lake"),
+                       str(tmp_path / "cp"), num_buckets=4,
+                       dlq_path=str(tmp_path / "dlq"))
+    job.run_available_now()
+    assert {r["url"] for r in job.table().read().collect()} \
+        == {"http://a"}
+    assert {r["seq"]: r["_dlq_reason"] for r in job.dlq().collect()} \
+        == {1: "bad_op", 2: "null_key"}
