@@ -1736,17 +1736,22 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY h ORDER BY doc_id, s) AS rn
                 FROM win WHERE h IN (SELECT h FROM flagged)),
             st AS (
-                SELECT doc_id, list(s) AS ss FROM occ
-                WHERE rn > 1 GROUP BY doc_id),
+                SELECT doc_id,
+                       list(s) FILTER (WHERE rn > 1) AS ss,
+                       list(s) FILTER (WHERE rn = 1) AS ws
+                FROM occ GROUP BY doc_id),
             j AS (
                 SELECT toked.doc_id, t,
-                       coalesce(st.ss, CAST([] AS BIGINT[])) AS ss
+                       coalesce(st.ss, CAST([] AS BIGINT[])) AS ss,
+                       coalesce(st.ws, CAST([] AS BIGINT[])) AS ws
                 FROM toked LEFT JOIN st USING (doc_id))
             SELECT doc_id,
                    array_to_string(
                        [t[i+1] FOR i IN range(len(t))
                         IF len(list_filter(ss,
-                            s -> s <= i AND i < s + 8)) = 0], ' ')
+                              s -> s <= i AND i < s + 8)) = 0
+                           OR len(list_filter(ws,
+                              s -> s <= i AND i < s + 8)) > 0], ' ')
                        AS text_clean
             FROM j
         """,

@@ -227,6 +227,10 @@ class CDCPipeline:
         """All quarantined events across batches (``batch`` partition
         column + ``_dlq_reason``); schemas merged across config
         evolution."""
+        if self.dlq_path is None:
+            raise ValueError(
+                "no dead-letter queue configured — pass dlq_path= to "
+                "the pipeline to enable quarantine")
         return (self.spark.read.option("mergeSchema", "true")
                 .option("basePath", self.dlq_path)
                 .parquet(self.dlq_path + "/batch=*"))

@@ -185,11 +185,15 @@ def dedup_substrings(df: DataFrame, text_col: str = "text",
 
     ``keep="first"`` switches to the paper's keep-one-copy semantics:
     per flagged window, the globally FIRST occurrence (min by
-    (doc id, start position)) retains its tokens and only the other
-    occurrences are removed — a position is cut iff some NON-winner
-    flagged occurrence covers it. The winner per hash is one more
-    map-side-combining ``min(struct)`` aggregate (no window function),
-    joined back on the hash."""
+    (doc id, start position)) retains its tokens. Precisely: a
+    position is cut iff some non-winner flagged occurrence covers it
+    AND no winner occurrence in the same doc covers it — the winner
+    SHIELDS its tokens, so when two overlapping spans have winners in
+    different docs, each winner's copy still survives (without the
+    shield, a non-winner overlap could cut tokens out of a winning
+    window and a span could lose every copy). The winner per hash is
+    one more map-side-combining ``min(struct)`` aggregate (no window
+    function), joined back on the hash."""
     if window_tokens < 1:
         raise ValueError("window_tokens must be >= 1")
     if min_count < 1:
@@ -217,27 +221,43 @@ def dedup_substrings(df: DataFrame, text_col: str = "text",
                .where(F.col("_n") >= min_count)
                .select("_h"))
     occ = win.join(flagged, "_h", "left_semi")
+    empty = F.array().cast("array<int>")
     if keep == "first":
         winners = (occ.groupBy("_h")
                    .agg(F.min(F.struct(F.col(id_col), F.col("_s")))
                         .alias("_w")))
-        occ = (occ.join(winners, "_h")
-               .where(~((F.col(id_col) == F.col("_w")[id_col])
-                        & (F.col("_s") == F.col("_w._s"))))
-               .drop("_w"))
-    doc_starts = (occ.groupBy(id_col)
-                  .agg(F.collect_list("_s").alias("_starts")))
+        is_win = ((F.col(id_col) == F.col("_w")[id_col])
+                  & (F.col("_s") == F.col("_w._s")))
+        # per doc, BOTH start lists: winner occurrences SHIELD their
+        # tokens (see docstring) — collect_list drops the NULL arms
+        doc_starts = (occ.join(winners, "_h")
+                      .groupBy(id_col)
+                      .agg(F.collect_list(
+                               F.when(~is_win, F.col("_s")))
+                           .alias("_starts"),
+                           F.collect_list(
+                               F.when(is_win, F.col("_s")))
+                           .alias("_wstarts")))
+    else:
+        doc_starts = (occ.groupBy(id_col)
+                      .agg(F.collect_list("_s").alias("_starts"))
+                      .withColumn("_wstarts", empty))
     base = df.select(F.col(id_col), F.col(text_col).alias("_orig"))
     joined = (base.join(doc_starts, id_col, "left")
-              .withColumn("_starts", F.coalesce(
-                  F.col("_starts"),
-                  F.array().cast("array<int>"))))
+              .withColumn("_starts",
+                          F.coalesce(F.col("_starts"), empty))
+              .withColumn("_wstarts",
+                          F.coalesce(F.col("_wstarts"), empty)))
     toks_orig = F.filter(F.split(F.trim(F.col("_orig")), r"\s+"),
                          lambda x: x != "")
+
+    def _covered(starts, i):
+        return F.exists(starts, lambda s: (s <= i) & (i < s + n))
+
     kept = F.filter(
         toks_orig,
-        lambda x, i: ~F.exists(
-            F.col("_starts"), lambda s: (s <= i) & (i < s + n)))
+        lambda x, i: ~_covered(F.col("_starts"), i)
+        | _covered(F.col("_wstarts"), i))
     return joined.select(
         F.col(id_col),
         F.when(F.col("_orig").isNull(), F.lit(None).cast("string"))

@@ -172,29 +172,27 @@ def plan_mixture(df: DataFrame, strata_col: str, weights: dict,
     totals = (df.where(F.col(strata_col).isin(*norm.keys()))
               .groupBy(strata_col)
               .agg(F.sum(n_tok).alias("total_tokens")))
-    w_expr = None
-    for k, w in norm.items():
-        clause = (w_expr.when if w_expr is not None else F.when)(
-            F.col(strata_col) == F.lit(k), F.lit(w))
-        w_expr = clause
-    # C = min_s T_s / w_s over the TARGET strata; a missing/empty
-    # stratum (total 0 or no row) makes the mixture infeasible
-    per = totals.select(
-        F.col(strata_col), "total_tokens",
-        (F.col("total_tokens") / w_expr).alias("_cap"))
-    n_present = per.count()
-    cap_row = per.agg(F.min("_cap").alias("c")).first()
-    feasible = (n_present == len(norm)) and cap_row["c"] is not None \
-        and cap_row["c"] > 0
-    cap = float(cap_row["c"]) if feasible else None
-    if cap is None:
-        return per.select(
-            F.col(strata_col), "total_tokens",
-            F.lit(None).cast("double").alias("fraction"))
-    return per.select(
-        F.col(strata_col), "total_tokens",
-        F.round(w_expr * F.lit(cap) / F.col("total_tokens"), 6)
-         .alias("fraction"))
+    # ONE corpus scan: collect the O(strata) total rows, then the
+    # closed-form arithmetic runs on the driver — no second/third
+    # aggregation job, and the plan can't see data that changed
+    # between jobs. A missing stratum, a NULL total (all-NULL
+    # text/token column) or a zero total makes the mixture
+    # infeasible: fraction NULL for EVERY stratum.
+    rows = totals.collect()
+    got = {r[strata_col]: r["total_tokens"] for r in rows}
+    feasible = (len(got) == len(norm)
+                and all(t is not None and t > 0 for t in got.values()))
+    if feasible:
+        cap = min(got[k] / norm[k] for k in norm)
+        plan = [(k, int(got[k]), round(norm[k] * cap / got[k], 6))
+                for k in sorted(norm)]
+    else:
+        plan = [(k, None if got.get(k) is None else int(got[k]), None)
+                for k in sorted(got)]
+    stratum_type = df.schema[strata_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        plan, schema=(f"{strata_col} {stratum_type}, "
+                      "total_tokens long, fraction double"))
 
 
 def mixture_fractions(df: DataFrame, strata_col: str, weights: dict,

@@ -1029,3 +1029,10 @@ def test_content_dedup_decides_on_lww_winner(spark, tmp_path):
     state = {r["url"]: r["text"] for r in pipe.table().read().collect()}
     assert state == {"http://b": "known old content here",
                      "http://a": "fresh brand new content"}
+
+
+def test_dlq_accessor_requires_configuration(spark, tmp_path):
+    pipe = CDCPipeline(spark, str(tmp_path / "wal"),
+                       str(tmp_path / "lake"), str(tmp_path / "cp"))
+    with pytest.raises(ValueError, match="dlq_path"):
+        pipe.dlq()

@@ -1661,3 +1661,42 @@ def test_dedup_substrings_keep_first(spark):
 
     with pytest.raises(ValueError):
         dedup_substrings(df, keep="bogus")
+
+
+def test_dedup_substrings_first_winner_shield(spark):
+    """Overlapping flagged spans with winners in DIFFERENT docs: each
+    winner's copy must survive — a non-winner overlap may not cut
+    tokens out of a winning window (the review scenario where
+    'b c z' previously survived nowhere)."""
+    from embulk_filter_column_spark.operators import dedup_substrings
+
+    rows = [(1, "x a b c"), (2, "a b c z"), (3, "a b c z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text_clean"]
+           for r in dedup_substrings(df, window_tokens=3,
+                                     min_count=2,
+                                     keep="first").collect()}
+    # 'a b c' winner is doc 1 (kept whole); 'b c z' winner is doc 2 —
+    # its window shields b,c,z, only the non-winner-covered 'a' is cut
+    assert out[1] == "x a b c"
+    assert out[2] == "b c z"
+    assert out[3] == ""
+    # every flagged span retains at least one copy
+    assert "a b c" in out[1] and "b c z" in out[2]
+
+
+def test_plan_mixture_null_total_is_infeasible(spark):
+    """A target stratum whose every text is NULL must make the whole
+    plan infeasible (fraction NULL for every returned stratum), not a
+    half-valid plan."""
+    from embulk_filter_column_spark.operators import (
+        mixture_fractions,
+        plan_mixture,
+    )
+
+    rows = [(1, "a", "w x y z"), (2, "b", None), (3, "b", None)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    plan = plan_mixture(df, "source", {"a": 0.5, "b": 0.5}).collect()
+    assert all(r["fraction"] is None for r in plan)
+    with pytest.raises(ValueError):
+        mixture_fractions(df, "source", {"a": 0.5, "b": 0.5})

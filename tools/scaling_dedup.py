@@ -81,12 +81,22 @@ def main() -> None:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
                  str(n_exec), str(n_docs)],
-                capture_output=True, text=True, check=True)
+                capture_output=True, text=True)
+            if proc.returncode != 0:
+                # surface the worker's Spark traceback and keep the
+                # runs already measured instead of an opaque abort
+                print(f"worker ({n_exec} exec, run {i + 1}) FAILED:\n"
+                      f"{proc.stderr[-4000:]}", file=sys.stderr)
+                continue
             r = json.loads(proc.stdout.strip().splitlines()[-1])
             print(f"  {n_exec} exec run {i + 1}: {r['docs_per_sec']:.0f}"
                   f" docs/s ({r['sec']}s, {r['n_pairs']} pairs)",
                   file=sys.stderr)
             rates[n_exec].append(r["docs_per_sec"])
+    if not rates[lo] or not rates[hi]:
+        print(json.dumps({"error": "no successful runs at a level",
+                          "all_runs": rates}))
+        sys.exit(1)
     best = {k: max(v) for k, v in rates.items()}
     mean = {k: sum(v) / len(v) for k, v in rates.items()}
     print(json.dumps({
