@@ -152,6 +152,23 @@ def main() -> None:
         len(got & planted) / max(len(planted), 1), 4)
     out["decon_false_pos"] = len(got - planted)
 
+    # -- substring dedup on realistic vocabulary -----------------------
+    from embulk_filter_column_spark.operators import dedup_substrings
+
+    dup_corpus = realistic_docs(spark, n_train, dup_rate=0.05)
+    dup_corpus.write.format("noop").mode("overwrite").save()
+    t0 = time.monotonic()
+    cleaned = dedup_substrings(dup_corpus, window_tokens=20,
+                               min_count=2)
+    n_changed = (cleaned.join(dup_corpus, "doc_id")
+                 .where(F.col("text_clean") != F.col("text")).count())
+    out["dedup_substrings_sec"] = round(time.monotonic() - t0, 2)
+    # planted dups share a 115-token prefix with their base doc, so
+    # both members of each pair lose the shared windows (no-survivor
+    # semantics): changed ≈ 2 × planted
+    out["substr_docs_changed"] = n_changed
+    out["substr_planted_dups"] = n_train - int(n_train * 0.95)
+
     # -- IVF recall vs nprobe ------------------------------------------
     corpus = clustered_vectors(spark, n_vecs)
     queries = clustered_vectors(
