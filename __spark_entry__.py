@@ -1201,6 +1201,23 @@ def q_web_domain_filter(spark, sf_dir):
         blocklist=["src1.example.com", "src3.example.com"])
 
 
+def q_web_url_filter(spark, sf_dir):
+    """C4-style URL-pattern blocklist over the minted urls: drop docs
+    whose url path ends in a 7-digit or whose source is src3 — one
+    native rlike predicate, shared Java/RE2 regex subset."""
+    from embulk_filter_column_spark.operators.curation import (
+        filter_urls,
+    )
+
+    _utc(spark)
+    d = _load(spark, sf_dir, "documents")
+    url = F.format_string(
+        "https://www.%s.example.com/d/%d?b=2&a=1", "source", "doc_id")
+    return filter_urls(
+        d.select("doc_id", url.alias("url")),
+        patterns=[r"/d/[0-9]*7\?", r"src3\."])
+
+
 def q_multimodal_features(spark, sf_dir):
     """mapInPandas media feature extraction (deterministic fake decoder;
     the metadata columns are oracle-checked, the feature vector is pinned
@@ -1270,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_normalize": q_web_url_normalize,
         "web_domain_stats": q_web_domain_stats,
         "web_domain_filter": q_web_domain_filter,
+        "web_url_filter": q_web_url_filter,
         "text_token_counts": q_text_token_counts,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -1327,6 +1345,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url FROM u
             WHERE {url_domain_sql('url')} NOT IN
                   ('src1.example.com', 'src3.example.com')
+        """,
+        "web_url_filter": """
+            WITH u AS (
+                SELECT doc_id,
+                       printf('https://www.%s.example.com/d/%d?b=2&a=1',
+                              source, doc_id) AS url
+                FROM documents)
+            SELECT doc_id, url FROM u
+            WHERE NOT coalesce(
+                regexp_matches(url, '(?:/d/[0-9]*7\\?)|(?:src3\\.)'),
+                false)
         """,
         "filter_keep": """
             SELECT event_id, event_type AS etype, value FROM events

@@ -2,7 +2,11 @@ from .groups import (  # noqa: F401
     connected_components,
     dedup_groups,
 )
-from .curation import domain_stats, filter_domains  # noqa: F401
+from .curation import (  # noqa: F401
+    domain_stats,
+    filter_domains,
+    filter_urls,
+)
 from .decontaminate import decontaminate  # noqa: F401
 from .incremental import FingerprintIndex, MinHashIndex  # noqa: F401
 from .packing import pack_documents  # noqa: F401

@@ -59,6 +59,31 @@ def domain_stats(df: DataFrame, url_col: str = "url",
             .agg(*aggs))
 
 
+def filter_urls(df: DataFrame, patterns, url_col: str = "url",
+                mode: str = "block") -> DataFrame:
+    """URL-pattern filter — the C4-style companion to
+    ``filter_domains`` for path/query-level rules (spam path tokens,
+    session-id parameters, calendar/pagination traps). ``patterns``
+    is an iterable of regexes OR-ed into one predicate;
+    ``mode="block"`` drops matching rows, ``mode="allow"`` keeps only
+    them. One native ``rlike`` in the scan stage — no join, no
+    shuffle, no Python. Patterns should stick to the regex subset
+    shared by Java regex and RE2 (no lookaround/backreferences) so
+    the operator stays oracle-twinnable, same contract as the PII
+    patterns."""
+    if mode not in ("block", "allow"):
+        raise ValueError("mode must be 'block' or 'allow'")
+    pats = [p for p in patterns]
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+    combined = "|".join(f"(?:{p})" for p in pats)
+    hit = F.col(url_col).rlike(combined)
+    # NULL urls match nothing: blocked mode keeps them (~NULL is NULL →
+    # filtered...) — make the policy explicit instead of NULL-luck
+    hit = F.coalesce(hit, F.lit(False))
+    return df.where(~hit if mode == "block" else hit)
+
+
 def filter_domains(df: DataFrame, blocklist=None, allowlist=None,
                    url_col: str = "url") -> DataFrame:
     """Keep rows by domain membership: drop rows whose domain is in

@@ -1700,3 +1700,22 @@ def test_plan_mixture_null_total_is_infeasible(spark):
     assert all(r["fraction"] is None for r in plan)
     with pytest.raises(ValueError):
         mixture_fractions(df, "source", {"a": 0.5, "b": 0.5})
+
+
+def test_filter_urls_block_and_allow(spark):
+    from embulk_filter_column_spark.operators import filter_urls
+
+    rows = [(1, "https://a.com/article/readable"),
+            (2, "https://a.com/calendar?year=1999&month=2"),
+            (3, "https://spam.biz/casino/jackpot"),
+            (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    blocked = filter_urls(df, [r"/calendar\?", r"casino"])
+    # NULL urls match no pattern -> kept under block (explicit policy)
+    assert sorted(r["doc_id"] for r in blocked.collect()) == [1, 4]
+    allowed = filter_urls(df, [r"/article/"], mode="allow")
+    assert [r["doc_id"] for r in allowed.collect()] == [1]
+    with pytest.raises(ValueError):
+        filter_urls(df, [])
+    with pytest.raises(ValueError):
+        filter_urls(df, ["x"], mode="bogus")
