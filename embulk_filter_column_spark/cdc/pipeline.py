@@ -210,18 +210,21 @@ class CDCPipeline:
         return the mergeable remainder. The quarantine set is a
         deterministic function of the batch, and the write is an
         overwrite of the batch's own directory — replay-idempotent.
-        The diverted count rides an Observation on the write job."""
+        The diverted count rides an Observation on the write job.
+        Quarantine and remainder both derive from ONE reason-tagged
+        projection (VERDICT r5 item 8), so the reason expression tree
+        appears once per batch plan instead of twice."""
         from pyspark.sql import Observation
 
-        reason = self._dlq_reason()
-        bad = (projected.withColumn("_dlq_reason", reason)
-               .where(F.col("_dlq_reason").isNotNull()))
+        tagged = projected.withColumn("_dlq_reason", self._dlq_reason())
+        bad = tagged.where(F.col("_dlq_reason").isNotNull())
         obs = Observation()
         (bad.observe(obs, F.count(F.lit(1)).alias("n"))
          .write.mode("overwrite")
          .parquet("%s/batch=%d" % (self.dlq_path.rstrip("/"), batch_id)))
         self.dlq_log.append((batch_id, int(obs.get["n"])))
-        return projected.where(reason.isNull())
+        return (tagged.where(F.col("_dlq_reason").isNull())
+                .drop("_dlq_reason"))
 
     def dlq(self):
         """All quarantined events across batches (``batch`` partition
@@ -256,15 +259,28 @@ class CDCPipeline:
         text = F.col(self.dedup_text_col)
         indexable = (F.col("op").isNotNull() & (F.col("op") != "D")
                      & text.isNotNull() & F.col(self.key).isNotNull())
-        bypass = projected.where(~indexable)
         upserts = projected.where(indexable)
         winners = last_writer_wins(upserts, key=self.key,
                                    order=self.order)
-        kept_keys = self.dedup_index.dedup_and_update(
+        # dedup_ids returns the index's MATERIALIZED surviving-key
+        # frame directly — the old dedup_and_update call re-joined the
+        # winner rows against it only for this .select(key) to throw
+        # the payload away again (one redundant semi-join of the whole
+        # winner aggregation per batch)
+        kept_keys = self.dedup_index.dedup_ids(
             winners, text_col=self.dedup_text_col, id_col=self.key,
-            batch_id="b%08d" % batch_id).select(self.key)
-        kept = upserts.join(kept_keys, self.key, "left_semi")
-        return kept.select(*projected.columns).unionByName(bypass)
+            batch_id="b%08d" % batch_id)
+        # ONE batch scan: the old kept-∪-bypass union read the batch
+        # twice in every downstream merge job. A row passes iff it
+        # bypasses the index (delete / NULL text / NULL key / bad op —
+        # NULL keys never match the join, so they keep flowing) or its
+        # key survived. The key frame is materialized and bounded by
+        # the batch's winner count; AQE picks broadcast when it fits
+        return (projected
+                .join(kept_keys.withColumn("_kept", F.lit(1)),
+                      self.key, "left")
+                .where(~indexable | F.col("_kept").isNotNull())
+                .select(*projected.columns))
 
     def _table_schema(self, output_schema):
         """Lake schema = projected payload without the transient op flag."""

@@ -55,7 +55,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_ngrams, word_ngrams_multi
+from ..functions.text import (
+    tokens,
+    word_ngram_hashes,
+    word_ngram_hashes_multi,
+)
 from .dedup import _shingle_docs, _widen
 
 
@@ -123,12 +127,17 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     if short_sizes:
         # one train-side scan: main-size shingles (the normalize="train"
         # denominator) plus the short eval sizes' shingles, per-doc
-        # distinct across sizes (equal strings imply equal token counts,
-        # so sizes can't cross-match in the join)
+        # distinct across sizes. Shingles ride as 64-bit hashes (the
+        # same representation _shingle_docs uses): equal-length shingle
+        # strings can't cross-match sizes, and hashes inherit that up
+        # to a ~10⁻¹⁹ 64-bit collision (word_ngram_hashes docstring) —
+        # while the exploded inverted-index join below ships 8-byte
+        # keys instead of shingle text
         base = _widen(train.select(F.col(id_col), F.col(text_col)))
         tr = (base
-              .withColumn("_m", word_ngrams(text_col, shingle_n))
-              .withColumn("_x", word_ngrams_multi(text_col, short_sizes))
+              .withColumn("_m", word_ngram_hashes(text_col, shingle_n))
+              .withColumn("_x", word_ngram_hashes_multi(text_col,
+                                                        short_sizes))
               .select(F.col(id_col),
                       F.array_distinct(F.concat("_m", "_x")).alias("sh"),
                       F.size("_m").alias("n")))

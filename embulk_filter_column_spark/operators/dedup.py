@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, tokens, word_ngrams
+from ..functions.text import doc_fingerprint, tokens, word_ngram_hashes
 from ..functions.vectors import cosine_similarity, hyperplane_bucket
 
 
@@ -369,9 +369,19 @@ def _bucket_pairs(indexed: DataFrame, bucket_cols: list,
 
 def _shingle_docs(df: DataFrame, text_col: str, id_col: str,
                   shingle_n: int) -> DataFrame:
-    """(id, sorted distinct shingle array, set size) per document."""
+    """(id, sorted distinct shingle-HASH array, set size) per document.
+    Shingles are carried as 64-bit ``xxhash64`` values
+    (``word_ngram_hashes``): every downstream pass — prefix explode,
+    bucket collect, pair shuffle, ``array_intersect`` verification —
+    then works on fixed 8-byte keys instead of ~25-byte strings, and
+    the hashed-set Jaccard equals the string-set Jaccard up to a
+    ~10⁻¹⁵/pair 64-bit collision (see ``word_ngram_hashes``). The
+    PPJoin prefix-filter bound is order-agnostic (any global total
+    order works), so sorting by hash value keeps the prefix theorem
+    intact."""
     return (_widen(df.select(F.col(id_col), F.col(text_col)))
-            .select(id_col, word_ngrams(text_col, shingle_n).alias("_raw"))
+            .select(id_col,
+                    word_ngram_hashes(text_col, shingle_n).alias("_raw"))
             .select(id_col, F.array_sort("_raw").alias("sh"))
             .withColumn("n", F.size("sh")))
 
@@ -398,11 +408,32 @@ def _verify_jaccard(cand: DataFrame, shingled: DataFrame, id_col: str,
 # MinHash
 
 
+def _minhash_sig(shingles_col, num_hashes: int, seed: int):
+    """The signature expression over a BOUND shingle-hash array column:
+    per hash function, min over ``xxhash64(shingle_hash, salt)``.
+    Shared by ``minhash_signature`` (one-shot, computes the shingle
+    array inline) and ``minhash_band_keys_from_shingles`` (persistent
+    index, reuses a materialized ``_shingle_docs`` frame) so the two
+    derivations can never drift apart."""
+    def _hash_fn(salt):
+        return lambda h: F.xxhash64(h, F.lit(salt))
+
+    return F.array(*[
+        F.array_min(F.transform(shingles_col, _hash_fn(seed + i)))
+        for i in range(num_hashes)
+    ])
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 16, shingle_n: int = 3,
                       seed: int = 42) -> DataFrame:
-    """Append ``minhash`` (array<long>): per-hash-function min over word
-    shingles. One native expression per hash function — no UDF.
+    """Append ``minhash`` (array<long>): per-hash-function min over the
+    document's 64-bit shingle hashes (``word_ngram_hashes`` — the same
+    representation ``_shingle_docs`` verification uses). Hashing the
+    8-byte shingle hash per function is ~3× cheaper than re-hashing the
+    ~25-byte shingle string num_hashes times, with the same LSH
+    collision math (min over a uniformly-hashed set). One native
+    expression per hash function — no UDF.
 
     The shingle array is materialized in its OWN projection first:
     referencing the (expensive) shingle expression from ``num_hashes``
@@ -410,17 +441,25 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     measured 9× slower (CollapseProject keeps multi-referenced non-cheap
     expressions in a separate stage, so the split evaluates shingles
     exactly once per row)."""
-    def _hash_fn(salt):
-        return lambda s: F.xxhash64(s, F.lit(salt))
-
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("_shingles"), _hash_fn(seed + i)))
-        for i in range(num_hashes)
-    ])
+    sig = _minhash_sig(F.col("_shingles"), num_hashes, seed)
     return (_widen(df)
-            .withColumn("_shingles", word_ngrams(text_col, shingle_n))
+            .withColumn("_shingles", word_ngram_hashes(text_col, shingle_n))
             .withColumn("minhash", sig)
             .drop("_shingles"))
+
+
+def _band_key_cols(bands: int, rows: int):
+    """Exploded (band, key) struct array over a bound ``minhash``
+    column — key = hash of the band's signature slice."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(
+                ",", *[F.element_at("minhash", b * rows + r + 1)
+                       .cast("string") for r in range(rows)]))
+            .alias("key"))
+        for b in range(bands)
+    ])
 
 
 def minhash_band_keys(df: DataFrame, text_col: str = "text",
@@ -439,17 +478,32 @@ def minhash_band_keys(df: DataFrame, text_col: str = "text",
     rows = num_hashes // bands
     with_sig = minhash_signature(df.where(_has_tokens(text_col)),
                                  text_col, num_hashes, shingle_n, seed)
-    band_cols = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.concat_ws(
-                ",", *[F.element_at("minhash", b * rows + r + 1)
-                       .cast("string") for r in range(rows)]))
-            .alias("key"))
-        for b in range(bands)
-    ])
     return (with_sig
-            .select(F.col(id_col), F.explode(band_cols).alias("bk"))
+            .select(F.col(id_col),
+                    F.explode(_band_key_cols(bands, rows)).alias("bk"))
+            .select(id_col, "bk.band", "bk.key"))
+
+
+def minhash_band_keys_from_shingles(shingled: DataFrame,
+                                    id_col: str = "doc_id",
+                                    num_hashes: int = 16,
+                                    bands: int = 4,
+                                    seed: int = 42) -> DataFrame:
+    """``minhash_band_keys`` computed from an existing ``_shingle_docs``
+    frame instead of raw text — IDENTICAL keys at equal parameters (the
+    signature is a per-hash-function min over the distinct shingle-hash
+    set, so the sorted/distinct ``sh`` array yields the same mins, and
+    ``n > 0`` is exactly the ``_has_tokens`` condition). Lets the
+    persistent ``incremental.MinHashIndex`` derive its band entries
+    from the checkpointed shingle projection it needs anyway for exact
+    verification — one tokenize scan per batch instead of two."""
+    rows = num_hashes // bands
+    with_sig = (shingled.where(F.col("n") > 0)
+                .withColumn("minhash",
+                            _minhash_sig(F.col("sh"), num_hashes, seed)))
+    return (with_sig
+            .select(F.col(id_col),
+                    F.explode(_band_key_cols(bands, rows)).alias("bk"))
             .select(id_col, "bk.band", "bk.key"))
 
 

@@ -54,6 +54,33 @@ from ..fsio import io_for
 from ..functions.text import doc_fingerprint
 
 
+def _run_concurrently(*thunks) -> None:
+    """Submit independent Spark write jobs from driver threads so their
+    task waves overlap (guide §2.6 — actions are only sequential
+    because driver code calls them sequentially). InheritableThread
+    propagates the JVM thread-locals (job group/description) and cleans
+    up pinned-thread state."""
+    from pyspark import InheritableThread
+
+    errs: list = []
+
+    def _wrap(t):
+        def run():
+            try:
+                t()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+        return run
+
+    threads = [InheritableThread(target=_wrap(t)) for t in thunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+
+
 class _JournaledIndex:
     """Shared skip-or-replay batch journal for persistent dedup indexes
     (see module docstring for the crash contract): journal survivors →
@@ -134,26 +161,24 @@ class FingerprintIndex(_JournaledIndex):
         return bool(self._io.glob(self._io.join(self.path, "bucket=*")))
 
     def _append_to_index(self, fresh: DataFrame) -> None:
+        # one write task per bucket (the same bound the lake's COW merge
+        # uses): repartition("bucket") alone would spread the tiny
+        # append over spark.sql.shuffle.partitions mostly-empty tasks
         (fresh
          .withColumn("bucket", self._bucket(F.col("fingerprint")))
-         .repartition("bucket")
+         .repartition(self.num_buckets, "bucket")
          .write.mode("append").partitionBy("bucket")
          .parquet(self.path))
 
-    def dedup_and_update(self, df: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id",
-                         batch_id: str | None = None) -> DataFrame:
-        """Returns the batch rows whose normalized text was never seen
-        — neither earlier in this batch (min id survives) nor in any
-        previous batch — and appends the survivors' fingerprints to the
-        index. The accept/reject decision is MATERIALIZED (eager
-        localCheckpoint) before any write: a lazy plan re-evaluated
-        after the append would see the batch's own fingerprints in the
-        index and anti-join itself to empty.
-
-        With ``batch_id``, replaying an already-journaled batch returns
-        the recorded survivor set (see module docstring for the crash
-        contract); without it the call is single-shot only."""
+    def dedup_ids(self, df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  batch_id: str | None = None) -> DataFrame:
+        """The accept/reject decision alone: a small materialized frame
+        of the batch's surviving ``id_col`` values, with the same
+        journal / index-append side effects as ``dedup_and_update``.
+        Callers that only need the id set — the CDC pipeline's
+        ingest-time content check semi-joins its batch on exactly this —
+        skip the row-level re-join entirely."""
         if batch_id is not None:
             self._check_batch_id(batch_id)
         if batch_id is not None and self._journal_committed(batch_id):
@@ -164,35 +189,68 @@ class FingerprintIndex(_JournaledIndex):
             if not self._io.exists(self._indexed_marker(batch_id)):
                 self._append_to_index(fresh.select("fingerprint", id_col))
                 self._touch(self._indexed_marker(batch_id))
-            return (df.join(fresh.select(id_col), id_col, "left_semi")
-                    .select(*df.columns))
+            return fresh.select(id_col)
 
         fp = doc_fingerprint(text_col).alias("fingerprint")
-        batch = df.select(F.col(id_col), fp)
-        firsts = (batch.groupBy("fingerprint")
-                  .agg(F.min(id_col).alias(id_col)))
+        # ONE heavy pass over the batch (fingerprint scan + in-batch
+        # min-id groupBy), materialized eagerly: the bucket probe, the
+        # index anti-join, the journal write and the index append all
+        # reuse the checkpointed (fingerprint, id) rows — the probe
+        # job used to re-run the whole batch scan a second time just
+        # to list its buckets (guide §1.2: remove repeated passes
+        # before tuning anything else)
+        firsts = (df.select(F.col(id_col), fp)
+                  .groupBy("fingerprint")
+                  .agg(F.min(id_col).alias(id_col))
+                  .localCheckpoint(eager=True))
         if self._exists():
-            probe = (firsts
-                     .withColumn("bucket",
-                                 self._bucket(F.col("fingerprint"))))
             buckets = [r["bucket"] for r in
-                       probe.select("bucket").distinct().collect()]
+                       firsts.select(self._bucket(F.col("fingerprint"))
+                                     .alias("bucket"))
+                       .distinct().collect()]
             seen = (self.spark.read.parquet(self.path)
                     .where(F.col("bucket").isin(buckets))
                     .select("fingerprint"))
+            # the anti-join decision must be pinned before the index
+            # mutates (a lazy plan re-evaluated after the append would
+            # see the batch's own fingerprints and reject everything) —
+            # pinned by the journal write below when journaled, by a
+            # localCheckpoint otherwise
             fresh = firsts.join(seen, "fingerprint", "left_anti")
         else:
             fresh = firsts
-        fresh = fresh.localCheckpoint(eager=True)
         if batch_id is not None:
             # commit point: the survivor decision becomes durable
-            # before the index mutates
+            # before the index mutates — and the journal parquet IS the
+            # materialization (reading it back pins the decision; the
+            # old shape paid a localCheckpoint job AND a journal write
+            # of the same rows)
             (fresh.write.mode("overwrite")
              .parquet(self._journal_dir(batch_id)))
+            fresh = self.spark.read.parquet(self._journal_dir(batch_id))
+        elif fresh is not firsts:
+            fresh = fresh.localCheckpoint(eager=True)
         self._append_to_index(fresh)
         if batch_id is not None:
             self._touch(self._indexed_marker(batch_id))
-        return (df.join(fresh.select(id_col), id_col, "left_semi")
+        return fresh.select(id_col)
+
+    def dedup_and_update(self, df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         batch_id: str | None = None) -> DataFrame:
+        """Returns the batch rows whose normalized text was never seen
+        — neither earlier in this batch (min id survives) nor in any
+        previous batch — and appends the survivors' fingerprints to the
+        index. The accept/reject decision is MATERIALIZED (eager
+        localCheckpoint inside ``dedup_ids``) before any write: a lazy
+        plan re-evaluated after the append would see the batch's own
+        fingerprints in the index and anti-join itself to empty.
+
+        With ``batch_id``, replaying an already-journaled batch returns
+        the recorded survivor set (see module docstring for the crash
+        contract); without it the call is single-shot only."""
+        kept = self.dedup_ids(df, text_col, id_col, batch_id)
+        return (df.join(kept, id_col, "left_semi")
                 .select(*df.columns))
 
 
@@ -310,34 +368,40 @@ class MinHashIndex(_JournaledIndex):
         # replay) but never in the index — an empty shingle set can
         # never be a candidate, and indexing it would only grow docs/
         docs = docs.where(F.col("n") > 0)
-        (keys
-         .withColumn("bucket", self._key_bucket("key"))
-         .repartition("bucket")
-         .write.mode("append").partitionBy("bucket")
-         .parquet(self._bands_path))
-        (docs
-         .withColumn("dbucket", self._doc_bucket(id_col))
-         .repartition("dbucket")
-         .write.mode("append").partitionBy("dbucket")
-         .parquet(self._docs_path))
 
-    def dedup_and_update(self, df: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id",
-                         batch_id: str | None = None) -> DataFrame:
-        """Returns the batch rows that are NOT near-duplicates of any
-        earlier same-batch doc or previously accepted doc, and appends
-        the survivors' band entries + shingle sets to the index. The
-        accept/reject decision is materialized (eager localCheckpoint)
-        before any write — a lazy plan re-evaluated after the append
-        would see the batch's own band keys and reject everything.
-        Token-less docs carry no signature: they are returned as
-        survivors but not indexed (run exact dedup first to collapse
-        empty texts)."""
+        def _write_keys():
+            (keys
+             .withColumn("bucket", self._key_bucket("key"))
+             .repartition(self.num_buckets, "bucket")
+             .write.mode("append").partitionBy("bucket")
+             .parquet(self._bands_path))
+
+        def _write_docs():
+            (docs
+             .withColumn("dbucket", self._doc_bucket(id_col))
+             .repartition(self.num_buckets, "dbucket")
+             .write.mode("append").partitionBy("dbucket")
+             .parquet(self._docs_path))
+
+        # the two appends touch disjoint directories and share no
+        # lineage beyond already-materialized inputs — submit them
+        # concurrently so the second write's tasks back-fill the
+        # first's straggler tail (guide §2.6); one write task per
+        # bucket each, same bound as the lake's COW merge
+        _run_concurrently(_write_keys, _write_docs)
+
+    def dedup_ids(self, df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  batch_id: str | None = None) -> DataFrame:
+        """The accept/reject decision alone: a small materialized frame
+        of the batch's surviving ``id_col`` values, with the same
+        journal / index-append side effects as ``dedup_and_update``
+        (see that docstring for the semantics and crash contract)."""
         from .dedup import (
             _bucket_pairs,
             _shingle_docs,
             _verify_jaccard,
-            minhash_band_keys,
+            minhash_band_keys_from_shingles,
         )
 
         if batch_id is not None:
@@ -349,17 +413,21 @@ class MinHashIndex(_JournaledIndex):
                 keys = self.spark.read.parquet(self._io.join(jd, "bands"))
                 self._append(keys, docs, id_col)
                 self._touch(self._indexed_marker(batch_id))
-            return (df.join(docs.select(id_col), id_col, "left_semi")
-                    .select(*df.columns))
+            return docs.select(id_col)
 
-        # both projections are referenced 3-4x below (in-batch verify,
-        # cross-batch probe + verify, journal/append writes) — pin them
-        # once instead of re-running the tokenize+signature scan per use
+        # the shingle projection is referenced 3-4x below (in-batch
+        # verify, cross-batch verify, journal/append writes) — pin it
+        # once instead of re-running the tokenize scan per use. Band
+        # keys DERIVE from the checkpointed frame
+        # (minhash_band_keys_from_shingles — identical keys by
+        # construction), so the signature transform re-runs only over
+        # materialized 8-byte hash arrays and needs no checkpoint of
+        # its own; the old shape paid a second full tokenize+signature
+        # scan per batch just to materialize the keys
         shingled = _shingle_docs(df, text_col, id_col, self.shingle_n) \
             .localCheckpoint(eager=True)
-        keys = minhash_band_keys(df, text_col, id_col, self.num_hashes,
-                                 self.bands, self.shingle_n, self.seed) \
-            .localCheckpoint(eager=True)
+        keys = minhash_band_keys_from_shingles(
+            shingled, id_col, self.num_hashes, self.bands, self.seed)
         # (a) in-batch: same banded blocking + exact verify as the
         # one-shot minhash_lsh_pairs; b of a verified (a < b) pair is a
         # near-dup of an earlier batch doc
@@ -421,10 +489,14 @@ class MinHashIndex(_JournaledIndex):
         surv_docs = shingled.join(surv_ids, id_col, "left_semi")
         if batch_id is not None:
             jd = self._journal_dir(batch_id)
-            surv_keys.write.mode("overwrite").parquet(
-                self._io.join(jd, "bands"))
-            surv_docs.write.mode("overwrite").parquet(
-                self._io.join(jd, "docs"))
+            # independent writes of two already-pinned frames — overlap
+            # them (guide §2.6); the _COMMIT marker still lands only
+            # after BOTH have completed, so the crash contract holds
+            _run_concurrently(
+                lambda: surv_keys.write.mode("overwrite").parquet(
+                    self._io.join(jd, "bands")),
+                lambda: surv_docs.write.mode("overwrite").parquet(
+                    self._io.join(jd, "docs")))
             # commit point: one atomic marker AFTER both journal writes
             self._touch(self._io.join(jd, "_COMMIT"))
             surv_keys = self.spark.read.parquet(
@@ -434,5 +506,20 @@ class MinHashIndex(_JournaledIndex):
         self._append(surv_keys, surv_docs, id_col)
         if batch_id is not None:
             self._touch(self._indexed_marker(batch_id))
-        return (df.join(surv_ids, id_col, "left_semi")
+        return surv_ids
+
+    def dedup_and_update(self, df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         batch_id: str | None = None) -> DataFrame:
+        """Returns the batch rows that are NOT near-duplicates of any
+        earlier same-batch doc or previously accepted doc, and appends
+        the survivors' band entries + shingle sets to the index. The
+        accept/reject decision is materialized (eager localCheckpoint
+        inside ``dedup_ids``) before any write — a lazy plan
+        re-evaluated after the append would see the batch's own band
+        keys and reject everything. Token-less docs carry no signature:
+        they are returned as survivors but not indexed (run exact dedup
+        first to collapse empty texts)."""
+        kept = self.dedup_ids(df, text_col, id_col, batch_id)
+        return (df.join(kept, id_col, "left_semi")
                 .select(*df.columns))
