@@ -414,14 +414,25 @@ def _minhash_sig(shingles_col, num_hashes: int, seed: int):
     Shared by ``minhash_signature`` (one-shot, computes the shingle
     array inline) and ``minhash_band_keys_from_shingles`` (persistent
     index, reuses a materialized ``_shingle_docs`` frame) so the two
-    derivations can never drift apart."""
-    def _hash_fn(salt):
-        return lambda h: F.xxhash64(h, F.lit(salt))
+    derivations can never drift apart.
 
-    return F.array(*[
-        F.array_min(F.transform(shingles_col, _hash_fn(seed + i)))
-        for i in range(num_hashes)
-    ])
+    ONE fold over the shingle array accumulating all ``num_hashes``
+    running minima (zip_with inside aggregate) — the per-function
+    ``array_min(transform(...))`` formulation traversed the array
+    num_hashes times per row and generated num_hashes separate
+    expression trees (the same 64-passes-to-1 fix ``simhash`` already
+    documents). Values are identical: a fold with ``least`` from
+    Long.MaxValue equals the min over the same hash stream, and the
+    empty-array case is explicitly mapped back to NULL signatures
+    (``array_min`` of an empty array) so shingle-less docs keep their
+    no-signature contract."""
+    salts = F.array(*[F.lit(seed + i) for i in range(num_hashes)])
+    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * num_hashes)
+    folded = F.aggregate(
+        shingles_col, init,
+        lambda acc, h: F.zip_with(acc, salts,
+                                  lambda a, s: F.least(a, F.xxhash64(h, s))))
+    return F.when(F.size(shingles_col) > 0, folded)
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
