@@ -46,6 +46,7 @@ from embulk_filter_column_spark.functions.text import (
     _STOPWORDS,
 )
 from embulk_filter_column_spark.operators.dedup import (
+    _widen,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -118,6 +119,33 @@ def _epoch_us(col: str):
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_TABLE_ROWS_CACHE: dict = {}
+
+
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Row count of a testdata table from the parquet footer metadata —
+    the same number a filterless ``df.count()`` job returns, without
+    running a Spark job (one footer read per file). Used only to SIZE
+    things (WAL chunk_rows, planted-id offsets); every sized quantity
+    is therefore identical to the count()-based plan. Falls back to
+    glob-of-part-files for directory-style tables; metadata row counts
+    are exact for parquet regardless of layout."""
+    key = (sf_dir, name)
+    if key not in _TABLE_ROWS_CACHE:
+        import glob as _glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        p = f"{sf_dir}/{name}.parquet"
+        files = (sorted(_glob.glob(os.path.join(p, "**", "*.parquet"),
+                                   recursive=True))
+                 if os.path.isdir(p) else [p])
+        _TABLE_ROWS_CACHE[key] = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in files)
+    return _TABLE_ROWS_CACHE[key]
 
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,7 +396,9 @@ def _final_state(spark, sf_dir, config_schedule=None, chunk_rows=None):
     base = tempfile.mkdtemp(prefix="spark_graft_cdc_")
     if chunk_rows is None:
         # ~10 chunks at any scale
-        chunk_rows = max(1000, log.count() // 10)
+        # events-table row count from parquet metadata — identical
+        # to log.count() (one changelog row per event), no Spark job
+        chunk_rows = max(1000, _table_rows(sf_dir, "events") // 10)
     write_wal(log, f"{base}/wal", chunk_rows=chunk_rows)
     pipe = CDCPipeline(
         spark, f"{base}/wal", f"{base}/lake", f"{base}/cp",
@@ -422,7 +452,7 @@ def q_cdc_streaming_replay(spark, sf_dir):
     _utc(spark)
     log = _event_changelog(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="spark_graft_stream_")
-    n = log.count()
+    n = _table_rows(sf_dir, "events")
     write_wal(log, f"{base}/wal", chunk_rows=max(1000, n // 10))
     job = StreamingCDC(spark, f"{base}/wal", f"{base}/lake",
                        f"{base}/cp", key="user_id", order=("ts", "seq"),
@@ -454,7 +484,7 @@ def q_cdc_ingest_dedup(spark, sf_dir):
 
     _utc(spark)
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    n = docs.count()
+    n = _table_rows(sf_dir, "documents")
     t0 = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
     t1 = F.to_timestamp(F.lit("2026-01-02 00:00:00"))
     url_u = F.format_string("u%09d", "doc_id")
@@ -506,7 +536,7 @@ def q_cdc_dlq(spark, sf_dir):
          .otherwise(F.col("user_id")).alias("user_id"),
         "event_type", "value")
     base = tempfile.mkdtemp(prefix="spark_graft_dlq_")
-    n = corrupted.count()
+    n = _table_rows(sf_dir, "events")
     write_wal(corrupted, f"{base}/wal", chunk_rows=max(1000, n // 10))
     pipe = CDCPipeline(
         spark, f"{base}/wal", f"{base}/lake", f"{base}/cp",
@@ -1011,7 +1041,7 @@ def q_text_pii_redact(spark, sf_dir):
     from embulk_filter_column_spark.functions.text import redact_pii
 
     _utc(spark)
-    d = _load(spark, sf_dir, "documents")
+    d = _widen(_load(spark, sf_dir, "documents").select("doc_id", "text"))
     planted = d.select("doc_id", _PII_SUFFIX_SPARK().alias("text"))
     return planted.select(
         "doc_id", redact_pii("text").alias("redacted"))
@@ -1026,7 +1056,7 @@ def q_text_repetition(spark, sf_dir):
     )
 
     _utc(spark)
-    d = _load(spark, sf_dir, "documents")
+    d = _widen(_load(spark, sf_dir, "documents").select("doc_id", "text"))
     m = repetition_metrics("text").alias("m")
     return (d.select("doc_id", m)
             .select("doc_id",
@@ -1116,7 +1146,9 @@ def q_text_gopher_filter(spark, sf_dir):
     from embulk_filter_column_spark.functions.text import gopher_filter
 
     _utc(spark)
-    d = _load(spark, sf_dir, "documents")
+    # widen: the gate is a HOF-heavy single projection and the scan is
+    # 1-2 splits at bench scale (no-op at real corpus sizes)
+    d = _widen(_load(spark, sf_dir, "documents").select("doc_id", "text"))
     g = gopher_filter(F.col("text")).alias("g")
     return d.select("doc_id", g).select(
         "doc_id", "g.n_words", "g.mean_word_len", "g.symbol_word_ratio",
@@ -1140,7 +1172,7 @@ def q_text_extract_html(spark, sf_dir):
     from embulk_filter_column_spark.functions.web import extract_text
 
     _utc(spark)
-    d = _load(spark, sf_dir, "documents")
+    d = _widen(_load(spark, sf_dir, "documents").select("doc_id", "text"))
     html = F.concat(F.lit(_HTML_PREFIX), F.col("text"),
                     F.lit(_HTML_SUFFIX))
     d = d.withColumn("html", F.encode(html, "UTF-8"))

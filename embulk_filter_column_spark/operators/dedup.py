@@ -84,7 +84,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     Map-side combining groupBy on a 64-bit key — the cheapest dedup and
     the first stage of any 100 TB pipeline."""
     fp = doc_fingerprint(text_col).alias("fingerprint")
-    keep = (df.select(fp, F.col(id_col))
+    keep = (_widen(df.select(F.col(id_col), F.col(text_col)))
+              .select(fp, F.col(id_col))
               .groupBy("fingerprint")
               .agg(F.min(id_col).alias(id_col),
                    F.count(F.lit(1)).alias("dup_count")))
@@ -121,9 +122,13 @@ def dedup_corpus_lines(df: DataFrame, text_col: str = "text",
     keyed, no skew beyond the count agg's combiner."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    lines = (df.select(F.col(id_col),
-                       F.posexplode(F.split(F.col(text_col), "\n"))
-                       .alias("_pos", "_ln"))
+    # widen once, shared by the line-explode passes AND the rebuild
+    # base: the md5-per-line projection on a 1-2-split benchmark scan
+    # would otherwise run single-threaded (no-op at real corpus sizes)
+    wide = _widen(df.select(F.col(id_col), F.col(text_col)))
+    lines = (wide.select(F.col(id_col),
+                         F.posexplode(F.split(F.col(text_col), "\n"))
+                         .alias("_pos", "_ln"))
              .withColumn("_h", F.md5(F.col("_ln"))))
     common = (lines.where(F.trim(F.col("_ln")) != "")
               .groupBy("_h")
@@ -138,7 +143,7 @@ def dedup_corpus_lines(df: DataFrame, text_col: str = "text",
                .agg(F.concat_ws("\n", ordered).alias(out_col)))
     # one row per input doc: fully-deduped docs come back as '', NULL
     # text (whose split produced no line rows) stays NULL
-    base = df.select(F.col(id_col), F.col(text_col).alias("_orig"))
+    base = wide.select(F.col(id_col), F.col(text_col).alias("_orig"))
     return (base.join(rebuilt, id_col, "left")
             .select(F.col(id_col),
                     F.when(F.col("_orig").isNull(), F.lit(None))
@@ -201,9 +206,14 @@ def dedup_substrings(df: DataFrame, text_col: str = "text",
     if keep not in ("none", "first"):
         raise ValueError("keep must be 'none' or 'first'")
     n = window_tokens
+    # widen once, shared by the window-hash passes AND the rebuild
+    # base (same rationale as dedup_corpus_lines: the md5-per-window
+    # projection and the final per-token cover filter both run over
+    # this frame's partitioning; no-op at real corpus sizes)
+    wide = _widen(df.select(F.col(id_col), F.col(text_col)))
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                     lambda x: x != "")
-    toked = df.select(F.col(id_col), toks.alias("_t"))
+    toked = wide.select(F.col(id_col), toks.alias("_t"))
     # sequence(0, size-n) would count DOWN for short docs — gate it
     starts_rng = F.when(
         F.size("_t") >= n,
@@ -242,7 +252,7 @@ def dedup_substrings(df: DataFrame, text_col: str = "text",
         doc_starts = (occ.groupBy(id_col)
                       .agg(F.collect_list("_s").alias("_starts"))
                       .withColumn("_wstarts", empty))
-    base = df.select(F.col(id_col), F.col(text_col).alias("_orig"))
+    base = wide.select(F.col(id_col), F.col(text_col).alias("_orig"))
     joined = (base.join(doc_starts, id_col, "left")
               .withColumn("_starts",
                           F.coalesce(F.col("_starts"), empty))

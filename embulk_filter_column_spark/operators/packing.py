@@ -48,16 +48,25 @@ def pack_documents(df: DataFrame, target_tokens: int = 2048,
         raise ValueError("target_tokens must be positive")
     counts = (F.col(n_tokens_col).cast("long") if n_tokens_col
               else token_count(text_col))
-    base = df.select(F.col(id_col),
-                     F.coalesce(counts, F.lit(0)).alias("n_tokens"))
-    # materialize the narrow (id, n_tokens) frame BEFORE the range
-    # repartition: the range partitioner's sampling pass and the
-    # shuffle map pass each evaluate their input, so with the tokenize
-    # expression inline the corpus was tokenized twice — checkpointing
-    # ~16 B/row first makes both passes read materialized longs (the
-    # same price the plan already paid for the post-shuffle pin below)
     if n_tokens_col is None:
-        base = base.localCheckpoint(eager=True)
+        from .dedup import _widen
+
+        # tokenize in parallel even when the input arrives as 1-2
+        # parquet splits (no-op at real corpus sizes), then materialize
+        # the narrow (id, n_tokens) frame BEFORE the range repartition:
+        # the range partitioner's sampling pass and the shuffle map
+        # pass each evaluate their input, so with the tokenize
+        # expression inline the corpus was tokenized twice —
+        # checkpointing ~16 B/row first makes both passes read
+        # materialized longs (the same price the plan already paid for
+        # the post-shuffle pin below)
+        base = (_widen(df.select(F.col(id_col), F.col(text_col)))
+                .select(F.col(id_col),
+                        F.coalesce(counts, F.lit(0)).alias("n_tokens"))
+                .localCheckpoint(eager=True))
+    else:
+        base = df.select(F.col(id_col),
+                         F.coalesce(counts, F.lit(0)).alias("n_tokens"))
     parts = (base.repartitionByRange(F.col(id_col))
              .withColumn("_pid", F.spark_partition_id()))
     # the offsets job and the window job must see the IDENTICAL

@@ -421,8 +421,11 @@ def write_ivf_table(df: DataFrame, path: str, centroids,
     Rows with NULL cells (null/ragged vectors) are excluded — they can
     never be probed."""
     assigned = ivf_assign(df, centroids, vec_col)
+    # one write task per cell (cells = len(centroids), known here):
+    # repartition("cell") alone would spread the write over
+    # spark.sql.shuffle.partitions mostly-empty tasks
     (assigned.where(F.col("cell").isNotNull())
-     .repartition("cell")
+     .repartition(len(centroids), "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
 
 

@@ -13,10 +13,15 @@ from ..functions.text import (
     quality_score,
     token_count,
 )
+from .dedup import _widen
 
 
 def annotate_text(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.select(
+    # the annotation projection is regex/HOF-heavy; a narrow input (a
+    # benchmark table arriving as 1-2 parquet splits) would evaluate it
+    # single-threaded — _widen is a no-op once the scan has >= cores
+    # splits, i.e. at any real corpus size
+    return _widen(df).select(
         *df.columns,
         lang_id(text_col).alias("lang_pred"),
         quality_score(text_col).alias("quality"),
