@@ -198,38 +198,47 @@ def word_ngram_hashes(col, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(toks0), _build), 1)
 
 
-def word_ngram_hashes_multi(col, sizes) -> Column:
-    """Hashed twin of ``word_ngrams_multi``: distinct ``xxhash64``
-    shingle hashes at EVERY size in ``sizes`` from one tokenization per
-    row. Per-size semantics match ``word_ngram_hashes`` exactly
-    (including the short-document fallback). Equal-length shingles
-    can't collide across sizes except under a 64-bit hash collision
-    (~10⁻¹⁹ per pair) — the cross-size separation argument of
-    ``word_ngrams_multi`` carries over modulo that."""
-    sizes = sorted({int(s) for s in sizes})
-    if not sizes or sizes[0] < 1:
-        raise ValueError("sizes must be a non-empty set of ints >= 1")
+def word_ngram_hashes_sized(col, main_n: int, extra_sizes) -> Column:
+    """Struct of (``sh``: distinct shingle hashes at ``main_n`` AND
+    every size in ``extra_sizes``, ``n``: the main-size distinct count)
+    from ONE tokenization per row. ``sh`` equals
+    ``array_distinct(word_ngram_hashes(main_n) ++
+    word_ngram_hashes_multi(extra_sizes))`` and ``n`` equals
+    ``size(word_ngram_hashes(main_n))`` — the exact pair
+    ``decontaminate``'s short-eval path needs, previously computed with
+    two tokenize passes over the training corpus."""
+    extra = sorted({int(s) for s in extra_sizes})
+    if main_n < 1 or (extra and extra[0] < 1):
+        raise ValueError("shingle sizes must be >= 1")
     c = F.col(col) if isinstance(col, str) else col
     toks0 = tokens(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]+", " "))
 
     def _build(toks):
         count = F.size(toks)
 
-        def _gram_fn(n):
-            return lambda i: F.xxhash64(
-                F.concat_ws(" ", F.slice(toks, i + 1, n)))
-
-        parts = []
-        for n in sizes:
+        def _one(n):
             idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
-            grams = F.transform(idx, _gram_fn(n))
-            parts.append(
-                F.when(count >= n, grams)
-                 .otherwise(F.when(count > 0,
-                                   F.array(F.xxhash64(
-                                       F.concat_ws(" ", toks))))
-                            .otherwise(F.array().cast("array<long>"))))
-        return F.array_distinct(F.flatten(F.array(*parts)))
+            grams = F.transform(
+                idx, lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(toks, i + 1, n))))
+            return F.when(count >= n, F.array_distinct(grams)) \
+                .otherwise(F.when(count > 0,
+                                  F.array(F.xxhash64(
+                                      F.concat_ws(" ", toks))))
+                           .otherwise(F.array().cast("array<long>")))
+
+        extras = [_one(n) for n in extra]
+        # bind the main-size array once (same let-binding-via-transform
+        # trick as the tokenization): it is referenced by both struct
+        # fields, and HOF subtrees are not reliably CSE'd
+        return F.element_at(
+            F.transform(
+                F.array(_one(main_n)),
+                lambda m: F.struct(
+                    F.array_distinct(F.flatten(F.array(m, *extras)))
+                     .alias("sh"),
+                    F.size(m).alias("n"))),
+            1)
 
     return F.element_at(F.transform(F.array(toks0), _build), 1)
 

@@ -55,11 +55,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import (
-    tokens,
-    word_ngram_hashes,
-    word_ngram_hashes_multi,
-)
+from ..functions.text import tokens, word_ngram_hashes_sized
 from .dedup import _shingle_docs, _widen
 
 
@@ -125,22 +121,23 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
             .where((F.col("s") > 0) & (F.col("s") < shingle_n))
             .distinct().collect())
     if short_sizes:
-        # one train-side scan: main-size shingles (the normalize="train"
-        # denominator) plus the short eval sizes' shingles, per-doc
-        # distinct across sizes. Shingles ride as 64-bit hashes (the
-        # same representation _shingle_docs uses): equal-length shingle
+        # ONE train-side tokenization: main-size shingles (the
+        # normalize="train" denominator) plus the short eval sizes'
+        # shingles, per-doc distinct across sizes, built together by
+        # word_ngram_hashes_sized (the two-expression form tokenized
+        # the corpus twice). Shingles ride as 64-bit hashes (the same
+        # representation _shingle_docs uses): equal-length shingle
         # strings can't cross-match sizes, and hashes inherit that up
         # to a ~10⁻¹⁹ 64-bit collision (word_ngram_hashes docstring) —
         # while the exploded inverted-index join below ships 8-byte
         # keys instead of shingle text
         base = _widen(train.select(F.col(id_col), F.col(text_col)))
         tr = (base
-              .withColumn("_m", word_ngram_hashes(text_col, shingle_n))
-              .withColumn("_x", word_ngram_hashes_multi(text_col,
-                                                        short_sizes))
+              .withColumn("_s", word_ngram_hashes_sized(
+                  text_col, shingle_n, short_sizes))
               .select(F.col(id_col),
-                      F.array_distinct(F.concat("_m", "_x")).alias("sh"),
-                      F.size("_m").alias("n")))
+                      F.col("_s.sh").alias("sh"),
+                      F.col("_s.n").alias("n")))
     else:
         tr = _shingle_docs(train, text_col, id_col, shingle_n)
     ev = _shingle_docs(eval_df, eval_text_col, eval_id_col, shingle_n)

@@ -41,10 +41,16 @@ def _has_tokens(text_col: str):
     Used to pre-filter shingle-less docs BEFORE the expensive signature
     projection — filtering on the signature column itself afterwards
     gets pushdown-substituted below the projection and evaluates the
-    whole signature twice (measured 3× on the minhash query)."""
-    normalized = F.regexp_replace(F.lower(F.col(text_col)),
-                                  r"[^a-z0-9\s]+", " ")
-    return F.trim(normalized) != ""
+    whole signature twice (measured 3× on the minhash query).
+
+    Normalization replaces every non-[a-z0-9 whitespace] run with a
+    space and tokenizes on whitespace, so a token exists iff the text
+    contains ANY alphanumeric character — one rlike, exact. (The
+    previous ``trim(normalized) != ''`` form leaked tab-only docs into
+    the blocking — ``trim`` strips spaces, not tabs — where their
+    empty shingle sets shared one degenerate band key, exactly what
+    this filter exists to prevent.)"""
+    return F.col(text_col).rlike("[a-zA-Z0-9]")
 
 
 def _widen(df: DataFrame) -> DataFrame:
