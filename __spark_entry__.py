@@ -1127,7 +1127,10 @@ def q_text_lang_id(spark, sf_dir):
     the marker-word vote — both stages mirrored literally in the SQL
     twin (_sql_lang_id builds from the same _SCRIPT_RULES table)."""
     _utc(spark)
-    d = (_load(spark, sf_dir, "documents").select("doc_id", "text")
+    # widen the parquet side BEFORE the union: the 32-partition local
+    # relation makes the union look wide to annotate_text's own _widen,
+    # while the whole documents table still sits in one scan split
+    d = (_widen(_load(spark, sf_dir, "documents").select("doc_id", "text"))
          .unionByName(spark.createDataFrame(
              _SCRIPT_DOCS, "doc_id long, text string")))
     return annotate_text(d).select("doc_id", "lang_pred")
