@@ -128,10 +128,12 @@ def dedup_corpus_lines(df: DataFrame, text_col: str = "text",
     keyed, no skew beyond the count agg's combiner."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    # widen once, shared by the line-explode passes AND the rebuild
-    # base: the md5-per-line projection on a 1-2-split benchmark scan
-    # would otherwise run single-threaded (no-op at real corpus sizes)
-    wide = _widen(df.select(F.col(id_col), F.col(text_col)))
+    # NOT widened (unlike dedup_substrings): the per-row work here is
+    # one split + one md5 per line — A/B-measured ~0.3 s SLOWER with
+    # the repartition at bench scale (the exchange costs more than the
+    # single-task projection it parallelizes), and at real corpus
+    # sizes the scan is already wide
+    wide = df.select(F.col(id_col), F.col(text_col))
     lines = (wide.select(F.col(id_col),
                          F.posexplode(F.split(F.col(text_col), "\n"))
                          .alias("_pos", "_ln"))
